@@ -1,0 +1,2 @@
+from . import camera_path, dataset_util  # noqa: F401
+from .dataset import NerfDataset  # noqa: F401

@@ -1,0 +1,2 @@
+from .ngp_network import NGPNetworks  # noqa: F401
+from .ori_nerf_network import OriginNeRFNetworks  # noqa: F401

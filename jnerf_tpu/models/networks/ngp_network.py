@@ -1,0 +1,72 @@
+"""Instant-NGP network: hash encode -> density MLP; SH + density feature -> RGB MLP.
+
+Parity target: `/root/reference/python/jnerf/models/networks/ngp_network.py`
+(density MLP 32->64->16, rgb MLP 32->64->64->3, both bias-free; output is
+``[rgb_raw, sigma_raw]`` 4-wide; ``density()`` exposes the sigma head for
+occupancy-grid updates).
+
+TPU-first: instead of the prebuilt tensor-core ``FullyFusedMlp`` object file
+(`fully_fused_mlp.py:25,84`), matmuls run in bf16 on the MXU with fp32
+accumulation, batched over the whole sample buffer; a Pallas fused-MLP path
+can swap in underneath without changing this interface.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from jnerf_tpu.utils.config import get_cfg
+from jnerf_tpu.utils.registry import ENCODERS, NETWORKS, build_from_cfg
+from .mlp import apply_mlp, init_mlp
+
+
+@NETWORKS.register_module()
+class NGPNetworks:
+    def __init__(
+        self,
+        use_fully=True,
+        density_hidden_layer=1,
+        density_n_neurons=64,
+        rgb_hidden_layer=2,
+        rgb_n_neurons=64,
+    ):
+        cfg = get_cfg()
+        # cfg.fp16 selects reduced-precision compute; on TPU that means bf16.
+        # NGP configs that omit the key still get bf16 (it is strictly better
+        # on this hardware and numerically safer than fp16).
+        self.compute_dtype = jnp.bfloat16 if cfg.fp16 in (None, True) else jnp.float32
+        self.use_fully = use_fully
+        self.pos_encoder = build_from_cfg(cfg.encoder.pos_encoder, ENCODERS)
+        self.dir_encoder = build_from_cfg(cfg.encoder.dir_encoder, ENCODERS)
+        self.pos_encoder.compute_dtype = self.compute_dtype
+        self.dir_encoder.compute_dtype = self.compute_dtype
+        self.density_dims = [self.pos_encoder.out_dim] + [density_n_neurons] * density_hidden_layer + [16]
+        self.rgb_dims = [self.dir_encoder.out_dim + 16] + [rgb_n_neurons] * rgb_hidden_layer + [3]
+
+    def init(self, key):
+        k_pos, k_dir, k_den, k_rgb = jax.random.split(key, 4)
+        return {
+            "pos_encoder": self.pos_encoder.init(k_pos),
+            "dir_encoder": self.dir_encoder.init(k_dir),
+            "density_mlp": init_mlp(k_den, self.density_dims, bias=False),
+            "rgb_mlp": init_mlp(k_rgb, self.rgb_dims, bias=False),
+        }
+
+    def __call__(self, params, pos, dirs):
+        """[N,3] warped pos, [N,3] warped dirs -> [N,4] raw (rgb, sigma)."""
+        dir_feat = self.dir_encoder(params["dir_encoder"], dirs)
+        pos_feat = self.pos_encoder(params["pos_encoder"], pos)
+        density = apply_mlp(params["density_mlp"], pos_feat, self.compute_dtype)
+        h = jnp.concatenate(
+            [density.astype(self.compute_dtype), dir_feat.astype(self.compute_dtype)],
+            axis=-1,
+        )
+        rgb = apply_mlp(params["rgb_mlp"], h, self.compute_dtype)
+        return jnp.concatenate([rgb, density[..., :1]], axis=-1).astype(jnp.float32)
+
+    def density(self, params, pos):
+        """[N,3] warped pos -> [N,1] raw sigma (pre-activation)."""
+        feat = self.pos_encoder(params["pos_encoder"], pos)
+        out = apply_mlp(params["density_mlp"], feat, self.compute_dtype)
+        return out[:, :1].astype(jnp.float32)

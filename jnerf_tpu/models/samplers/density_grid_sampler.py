@@ -1,0 +1,274 @@
+"""Instant-NGP training sampler: occupancy grid + fixed-budget ray marching.
+
+Parity target: `/root/reference/python/jnerf/models/samplers/density_grid_sampler/density_grid_sampler.py`.
+Public surface matches (``sample`` / ``rays2rgb`` / ``update_density_grid`` /
+``update_batch_rays``; constants NERF_CASCADES=5, GRIDSIZE=128, decay 0.95,
+update every 16 steps, target batch 2^18), but the internals are functional:
+grid state is an explicit pytree threaded through jitted functions, and the
+whole sampling path is static-shape (see ``jnerf_tpu.ops.ray_march``).
+
+Deliberate TPU-first deviations, for the record:
+
+- The reference runs an extra *detached* model forward per step solely to
+  feed its transmittance "compaction" kernel, whose early-break is disabled
+  (`compacted_coord.h:40-43`) — it only counts samples and applies a global
+  cap.  Our fixed [R, S] layout needs neither, so that forward pass is
+  simply gone (~1/3 of the reference's model FLOPs per step).
+- ``n_rays_per_batch`` adaptation (`update_batch_rays`, :266-271) rounds to
+  powers of two instead of multiples of 128: each distinct shape is an XLA
+  recompile, so we bound the compile set (~8 shapes) while keeping
+  samples/batch within 2x of ``target_batch_size``.
+- Host syncs happen once per update window (reading the measured-batch
+  counter), not once per step like the reference's ``.item()`` at
+  `ray_sampler.py:70`.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from jnerf_tpu.ops.composite import render_rays
+from jnerf_tpu.ops.occupancy import (
+    GridConfig,
+    density_grid_mean,
+    ema_grid_update,
+    generate_grid_samples,
+    make_grid_config,
+    mark_untrained_grid,
+    splat_density,
+    update_bitfield,
+)
+from jnerf_tpu.ops.ray_march import MarchConfig, RaySamples, sample_rays
+from jnerf_tpu.utils.config import get_cfg
+from jnerf_tpu.utils.registry import SAMPLERS
+
+
+def _pow2_round(x: int, lo: int, hi: int) -> int:
+    x = max(lo, min(hi, x))
+    lower = 1 << (x.bit_length() - 1)
+    upper = lower * 2
+    return lower if x - lower <= upper - x else min(upper, hi)
+
+
+@SAMPLERS.register_module()
+class DensityGridSampler:
+    NERF_GRIDSIZE = 128
+    NERF_MIN_OPTICAL_THICKNESS = 0.01
+
+    def __init__(self, update_den_freq=16, update_block_size=5_000_000):
+        cfg = get_cfg()
+        self.cfg = cfg
+        self.model = cfg.model_obj
+        self.dataset = cfg.dataset_obj
+        self.update_den_freq = update_den_freq
+        self.update_block_size = update_block_size
+
+        self.n_rays_per_batch = int(cfg.n_rays_per_batch or 4096)
+        self.target_batch_size = int(cfg.target_batch_size or (1 << 18))
+        self.n_training_steps = int(cfg.n_training_steps or 16)
+        self.const_dt = bool(cfg.const_dt)
+        self.background_color = list(cfg.background_color or [0, 0, 0])
+
+        self.grid_config: GridConfig = make_grid_config(self.dataset.aabb_range)
+        self.march_config = MarchConfig(
+            grid=self.grid_config,
+            near_distance=float(cfg.near_distance or 0.05),
+            cone_angle=0.0 if self.const_dt else float(cfg.cone_angle_constant),
+            const_dt=self.const_dt,
+        )
+        self.max_samples_per_ray = min(1024, self.march_config.n_candidates)
+        self.n_samples_per_ray = self._samples_for_rays(self.n_rays_per_batch)
+        self.inference_samples_per_ray = min(256, self.march_config.n_candidates)
+
+        # Eager-API scratch (test/render paths); the jitted trainer threads
+        # RaySamples explicitly instead.
+        self._last_samples: RaySamples | None = None
+        self.state = None  # set via init_state()
+
+    # ----------------------------------------------------------------- state
+    def _samples_for_rays(self, n_rays: int) -> int:
+        s = max(1, self.target_batch_size // max(n_rays, 1))
+        return min(s, self.max_samples_per_ray)
+
+    def init_state(self):
+        g = self.grid_config
+        gs = g.grid_size
+        state = {
+            "density_grid": jnp.zeros((g.n_cascades, gs, gs, gs), jnp.float32),
+            "bitfield": jnp.zeros((g.n_cascades, gs, gs, gs), bool),
+            "mean": jnp.zeros((), jnp.float32),
+            "ema_step": jnp.zeros((), jnp.int32),
+            "measured_batch_size": jnp.zeros((), jnp.int32),
+        }
+        self.state = state
+        return state
+
+    # ------------------------------------------------------------- sampling
+    def sample_fixed(self, state, rays_o, rays_d, key, n_samples: int) -> RaySamples:
+        """Pure/jittable: march rays against the current bitfield."""
+        return sample_rays(
+            self.march_config, state["bitfield"], rays_o, rays_d, key, n_samples
+        )
+
+    def composite(self, samples: RaySamples, network_outputs, background=None,
+                  inference=False):
+        """Pure/jittable: alpha-composite [R*S, 4] or [R, S, 4] raw outputs."""
+        r, s = samples.dts.shape
+        raw = network_outputs.reshape(r, s, 4)
+        if inference:
+            return render_rays(raw, samples.dts, samples.valid)
+        rgb, _ = render_rays(
+            raw, samples.dts, samples.valid, samples.truncated, background
+        )
+        return rgb
+
+    # -------------------------------------------------- reference-shaped API
+    def sample(self, img_ids, rays_o, rays_d, rgb_target=None, is_training=False,
+               key=None):
+        """Eager convenience wrapper with the reference's signature.
+
+        Returns (pos, dir) flattened to [R*S, 3] like the reference's
+        compacted coordinate buffers.
+        """
+        assert self.state is not None, "call init_state() first"
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        n = self.n_samples_per_ray if is_training else self.inference_samples_per_ray
+        samples = self.sample_fixed(self.state, rays_o, rays_d, key, n)
+        self._last_samples = samples
+        if is_training:
+            self.state["measured_batch_size"] = (
+                self.state["measured_batch_size"] + jnp.sum(samples.numsteps)
+            )
+        r, s = samples.dts.shape
+        return samples.positions.reshape(r * s, 3), samples.dirs.reshape(r * s, 3)
+
+    def rays2rgb(self, network_outputs, training_background_color=None,
+                 inference=False):
+        assert self._last_samples is not None
+        bg = training_background_color
+        if bg is None:
+            bg = jnp.asarray(self.background_color, jnp.float32)
+        if inference:
+            return self.composite(self._last_samples, network_outputs, inference=True)
+        return self.composite(self._last_samples, network_outputs, background=bg)
+
+    # ----------------------------------------------------------- grid update
+    def update_density_grid_fn(self, params, state, key, n_uniform: int,
+                               n_nonuniform: int, first_step: bool):
+        """Pure/jittable grid refresh (`update_density_grid_nerf`, :204-250).
+
+        Static args: sample counts + whether this is the step-0 variant.
+        """
+        g = self.grid_config
+        grid = state["density_grid"]
+        if first_step:
+            grid = mark_untrained_grid(
+                self.dataset.transforms_gpu,
+                self.dataset.focal_lengths,
+                self.dataset.resolution,
+                g,
+            )
+
+        k_u, k_n = jax.random.split(key)
+        idx_parts, pos_parts = [], []
+        if n_uniform:
+            i_u, p_u = generate_grid_samples(
+                k_u, grid, state["ema_step"], n_uniform, -0.01, g
+            )
+            idx_parts.append(i_u)
+            pos_parts.append(p_u)
+        if n_nonuniform:
+            i_n, p_n = generate_grid_samples(
+                k_n, grid, state["ema_step"], n_nonuniform,
+                self.NERF_MIN_OPTICAL_THICKNESS, g,
+            )
+            idx_parts.append(i_n)
+            pos_parts.append(p_n)
+        indices = jnp.concatenate(idx_parts)
+        positions = jnp.concatenate(pos_parts)
+
+        # Query raw densities at warped positions (model.density expects the
+        # aabb-relative coordinates the hash grid is defined over).
+        warped = (positions - g.aabb_min) / g.aabb_diag
+        raw = self.model.density(params, warped)
+
+        grid_tmp = jnp.zeros_like(grid)
+        grid_tmp = splat_density(indices, raw, grid_tmp, g)
+        grid = ema_grid_update(grid, grid_tmp, g)
+        mean = density_grid_mean(grid, g)
+        bitfield = update_bitfield(grid, mean, g)
+        return {
+            "density_grid": grid,
+            "bitfield": bitfield,
+            "mean": mean,
+            "ema_step": state["ema_step"] + 1,
+            "measured_batch_size": state["measured_batch_size"],
+        }
+
+    def grid_update_counts(self, training_step: int):
+        """(n_uniform, n_nonuniform) per `update_density_grid` (:255-263)."""
+        n_cascades = self.grid_config.max_cascade + 1
+        n_cells = self.grid_config.n_cells * n_cascades
+        if training_step < 256:
+            return n_cells, 0
+        return n_cells // 4, n_cells // 4
+
+    def update_density_grid(self, params=None, key=None, training_step=0):
+        """Eager wrapper mutating self.state (used by non-jitted paths)."""
+        assert self.state is not None
+        if key is None:
+            key = jax.random.PRNGKey(training_step)
+        n_u, n_n = self.grid_update_counts(training_step)
+        self.state = self.update_density_grid_fn(
+            params, self.state, key, n_u, n_n, first_step=(training_step == 0)
+        )
+        return self.state
+
+    # ----------------------------------------------------- batch adaptation
+    def update_batch_rays(self):
+        """Host-side: retune (n_rays, samples/ray) from the measured counter.
+
+        Faithful to :266-271 except the power-of-two rounding (see module
+        docstring).  Returns True if shapes changed (callers may re-jit).
+        """
+        assert self.state is not None
+        measured = int(jax.device_get(self.state["measured_batch_size"]))
+        measured = max(measured / self.n_training_steps, 1.0)
+        rays_per_batch = int(
+            self.n_rays_per_batch * self.target_batch_size / measured
+        )
+        new_rays = _pow2_round(rays_per_batch, 128, self.target_batch_size)
+        self.state["measured_batch_size"] = jnp.zeros((), jnp.int32)
+        changed = new_rays != self.n_rays_per_batch
+        self.n_rays_per_batch = new_rays
+        self.n_samples_per_ray = self._samples_for_rays(new_rays)
+        self.dataset.batch_size = new_rays
+        return changed
+
+    # ---------------------------------------------------------- persistence
+    def state_dict(self):
+        assert self.state is not None
+        return {
+            "density_grid": jax.device_get(self.state["density_grid"]),
+            "bitfield": jax.device_get(self.state["bitfield"]),
+            "mean": jax.device_get(self.state["mean"]),
+            "ema_step": jax.device_get(self.state["ema_step"]),
+            "n_rays_per_batch": self.n_rays_per_batch,
+        }
+
+    def load_state_dict(self, sd):
+        self.state = {
+            "density_grid": jnp.asarray(sd["density_grid"]),
+            "bitfield": jnp.asarray(sd["bitfield"]),
+            "mean": jnp.asarray(sd["mean"]),
+            "ema_step": jnp.asarray(sd["ema_step"]),
+            "measured_batch_size": jnp.zeros((), jnp.int32),
+        }
+        if "n_rays_per_batch" in sd:
+            self.n_rays_per_batch = int(sd["n_rays_per_batch"])
+            self.n_samples_per_ray = self._samples_for_rays(self.n_rays_per_batch)
+        return self.state

@@ -1,0 +1,256 @@
+"""Cascaded occupancy grid: lookups and the periodic density-grid update.
+
+Reimplements the reference's grid machinery
+(`/root/reference/python/jnerf/models/samplers/density_grid_sampler/op_header/`:
+``ray_sampler_header.h`` mip/occupancy helpers :58-95, :826-871;
+``mark_untrained_density_grid.h``; ``generate_grid_samples_nerf_nonuniform.h``;
+``splat_grid_samples_nerf_max_nearest_neighbor.h``; ``ema_grid_samples_nerf.h``;
+``update_bitfield.h``) as batched XLA programs:
+
+- the CUDA per-thread hash-probe / atomicMax-splat loops become vectorized
+  gathers and deterministic ``.at[].max()`` scatters;
+- the morton-indexed bitfield becomes a dense ``[C, G, G, G]`` bool array
+  (linear layout — morton order only served GPU memory locality);
+- the cascade max-pool writes the 2x-downsampled finer level into the center
+  octant ``[G/4, 3G/4)`` of the next level, exactly like
+  ``bitfield_max_pool`` (`update_bitfield.h:47-69`).
+
+All functions are pure and jittable; grid state is a small pytree.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+SQRT3 = math.sqrt(3.0)
+
+
+@dataclass(frozen=True)
+class GridConfig:
+    grid_size: int = 128
+    n_cascades: int = 5
+    max_cascade: int = 0  # highest cascade actually used (aabb_scale dependent)
+    aabb_min: float = -1.5
+    aabb_max: float = 2.5
+    min_optical_thickness: float = 0.01
+    decay: float = 0.95
+    max_steps: int = 1024  # NERF_STEPS()
+
+    @property
+    def stepsize(self) -> float:
+        # STEPSIZE() == MIN_CONE_STEPSIZE() (`density_grid_sampler.py:103-104`)
+        return SQRT3 / self.max_steps
+
+    @property
+    def max_cone_stepsize(self) -> float:
+        return (
+            self.stepsize
+            * (1 << (self.n_cascades - 1))
+            * self.max_steps
+            / self.grid_size
+        )
+
+    @property
+    def n_cells(self) -> int:
+        return self.grid_size ** 3
+
+    @property
+    def aabb_diag(self) -> float:
+        return self.aabb_max - self.aabb_min
+
+
+def make_grid_config(aabb_range, n_training_steps=1024, cone_angle_constant=0.0):
+    """Derive cascade counts from the dataset aabb, like
+    `density_grid_sampler.py:56-64`."""
+    aabb_min, aabb_max = aabb_range
+    aabb_scale = aabb_max - aabb_min
+    n_cascades = 5
+    if aabb_scale > (1 << (n_cascades - 1)):
+        n_cascades = int(math.ceil(math.log2(aabb_scale))) + 1
+    max_cascade = 0
+    while (1 << max_cascade) < aabb_scale:
+        max_cascade += 1
+    return GridConfig(
+        n_cascades=n_cascades,
+        max_cascade=max_cascade,
+        aabb_min=float(aabb_min),
+        aabb_max=float(aabb_max),
+    )
+
+
+# --------------------------------------------------------------------- mips
+def mip_from_pos(pos, cfg: GridConfig):
+    """Finest cascade containing pos ([..., 3] world coords) — `:58-65`."""
+    maxval = jnp.max(jnp.abs(pos - 0.5), axis=-1)
+    # frexp exponent e of x is floor(log2(x)) + 1.
+    e = jnp.floor(jnp.log2(jnp.maximum(maxval, 1e-10))).astype(jnp.int32) + 1
+    return jnp.clip(e + 1, 0, cfg.n_cascades - 1)
+
+
+def mip_from_dt(dt, pos, cfg: GridConfig):
+    """Cascade from step size and position — `:67-77`."""
+    mip = mip_from_pos(pos, cfg)
+    d = dt * (2 * cfg.grid_size)
+    e = jnp.floor(jnp.log2(jnp.maximum(d, 1e-10))).astype(jnp.int32) + 1
+    return jnp.where(d < 1.0, mip, jnp.clip(jnp.maximum(e, mip), 0, cfg.n_cascades - 1))
+
+
+def _cell_coords(pos, mip, cfg: GridConfig):
+    """World pos -> integer cell coords in cascade ``mip`` — `:826-840`."""
+    mip_scale = jnp.exp2(-mip.astype(jnp.float32))
+    p = (pos - 0.5) * mip_scale[..., None] + 0.5
+    i = jnp.floor(p * cfg.grid_size).astype(jnp.int32)
+    return jnp.clip(i, 0, cfg.grid_size - 1)
+
+
+def occupancy_at(bitfield, pos, mip, cfg: GridConfig):
+    """bitfield: [C, G, G, G] bool; pos [..., 3]; mip [...] -> bool [...]."""
+    i = _cell_coords(pos, mip, cfg)
+    g = cfg.grid_size
+    flat = ((mip * g + i[..., 0]) * g + i[..., 1]) * g + i[..., 2]
+    return jnp.take(bitfield.reshape(-1), flat, axis=0)
+
+
+# ------------------------------------------------------------- grid updates
+def _cell_centers(level: int, cfg: GridConfig, jitter=None):
+    """[G^3, 3] world positions of (optionally jittered) cell centers."""
+    g = cfg.grid_size
+    r = jnp.arange(g, dtype=jnp.float32)
+    gx, gy, gz = jnp.meshgrid(r, r, r, indexing="ij")
+    xyz = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+    off = 0.5 if jitter is None else jitter
+    pos = (xyz + off) / g - 0.5
+    return pos * (2.0 ** level) + 0.5
+
+
+def mark_untrained_grid(poses, focal_lengths, resolution, cfg: GridConfig):
+    """-1 for cells seen by zero training cameras, else 0.
+
+    Vectorized `mark_untrained_density_grid.h:12-47`: project each cell
+    center into every camera frustum with voxel-radius slack; scan over
+    images keeps peak memory at one [C*G^3] visibility mask.
+    Returns [C, G, G, G] float32.
+    """
+    g = cfg.grid_size
+    W, H = resolution
+    centers = jnp.concatenate(
+        [_cell_centers(level, cfg) for level in range(cfg.n_cascades)], axis=0
+    )  # [C*G^3, 3]
+    radii = jnp.concatenate(
+        [
+            jnp.full((cfg.n_cells,), 0.5 * SQRT3 * (2.0 ** level) / g)
+            for level in range(cfg.n_cascades)
+        ]
+    )
+
+    def body(j, seen):
+        xform = poses[j]  # [3, 4]
+        ploc = centers - xform[:, 3]
+        x = ploc @ xform[:, 0]
+        y = ploc @ xform[:, 1]
+        z = ploc @ xform[:, 2]
+        fx, fy = focal_lengths[j, 0], focal_lengths[j, 1]
+        vis = (
+            (z > 0)
+            & (jnp.abs(x) - radii < z / fx * (0.5 * W))
+            & (jnp.abs(y) - radii < z / fy * (0.5 * H))
+        )
+        return seen | vis
+
+    seen = jax.lax.fori_loop(
+        0, poses.shape[0], body, jnp.zeros(centers.shape[0], bool)
+    )
+    grid = jnp.where(seen, 0.0, -1.0)
+    return grid.reshape(cfg.n_cascades, g, g, g)
+
+
+def generate_grid_samples(key, grid, step, n_samples, thresh, cfg: GridConfig):
+    """Pick n_samples (cell_index, jittered position) pairs.
+
+    Faithful to `generate_grid_samples_nerf_nonuniform.h:10-35`: a random
+    cascade in [0, max_cascade], then up to 10 tries of the deterministic
+    hash probe for a cell with density > thresh (falling back to the last
+    probe), then a uniform jitter inside the cell.  The reference interprets
+    probe values as morton codes; we interpret them in our linear layout —
+    an equally uniform cell distribution.
+
+    Returns (indices [n] int32 flat into [C*G^3], positions [n, 3] world).
+    """
+    g = cfg.grid_size
+    n_cascades = cfg.max_cascade + 1
+    k_level, k_jitter = jax.random.split(key)
+    level = jax.random.randint(k_level, (n_samples,), 0, n_cascades)
+
+    i = jnp.arange(n_samples, dtype=jnp.uint32)
+    j = jnp.arange(10, dtype=jnp.uint32)
+    probe = (
+        (i[:, None] + jnp.uint32(step) * jnp.uint32(n_samples)) * jnp.uint32(56924617)
+        + j[None, :] * jnp.uint32(19349663)
+        + jnp.uint32(96925573)
+    ) % jnp.uint32(cfg.n_cells)
+    idx_cand = probe.astype(jnp.int32) + level[:, None] * cfg.n_cells  # [n, 10]
+    ok = jnp.take(grid.reshape(-1), idx_cand) > thresh
+    # First passing probe, else the last one (j=9), matching the CUDA loop.
+    first = jnp.argmax(ok, axis=1)
+    pick = jnp.where(jnp.any(ok, axis=1), first, 9)
+    idx = jnp.take_along_axis(idx_cand, pick[:, None], axis=1)[:, 0]
+
+    pos_idx = idx % cfg.n_cells
+    x = pos_idx // (g * g)
+    y = (pos_idx // g) % g
+    z = pos_idx % g
+    xyz = jnp.stack([x, y, z], axis=-1).astype(jnp.float32)
+    jitter = jax.random.uniform(k_jitter, (n_samples, 3))
+    pos = ((xyz + jitter) / g - 0.5) * jnp.exp2(level.astype(jnp.float32))[:, None] + 0.5
+    return idx, pos
+
+
+def splat_density(indices, raw_density, grid_tmp, cfg: GridConfig):
+    """Max-splat exp-activated densities scaled by the min step size.
+
+    `splat_grid_samples_nerf_max_nearest_neighbor.h:5-23`; atomicMax becomes
+    a deterministic scatter-max.
+    """
+    thickness = jnp.exp(raw_density.reshape(-1)) * cfg.stepsize
+    flat = grid_tmp.reshape(-1).at[indices].max(thickness)
+    return flat.reshape(grid_tmp.shape)
+
+
+def ema_grid_update(grid, grid_tmp, cfg: GridConfig):
+    """Decay-max update preserving -1 "untrained" cells
+    (`ema_grid_samples_nerf.h:23-25`)."""
+    return jnp.where(grid < 0, grid, jnp.maximum(grid * cfg.decay, grid_tmp))
+
+
+def density_grid_mean(grid, cfg: GridConfig):
+    """Mean of ReLU'd cascade-0 densities (`update_bitfield.py:27-30`)."""
+    return jnp.mean(jax.nn.relu(grid[0]))
+
+
+def update_bitfield(grid, mean, cfg: GridConfig):
+    """Threshold the grid into the occupancy bitfield + cascade max-pool.
+
+    `update_bitfield.h:23-69`: bit = density > min(0.01, mean); then each
+    coarser cascade's center octant ORs in the 2x max-pool of the finer one.
+    Returns [C, G, G, G] bool.
+    """
+    g = cfg.grid_size
+    thresh = jnp.minimum(cfg.min_optical_thickness, mean)
+    bits = grid > thresh  # [C, G, G, G]
+
+    q = g // 4
+    levels = [bits[0]]
+    for level in range(1, cfg.n_cascades):
+        prev = levels[-1]
+        pooled = (
+            prev.reshape(g // 2, 2, g // 2, 2, g // 2, 2).any(axis=(1, 3, 5))
+        )
+        cur = bits[level]
+        center = cur[q : 3 * q, q : 3 * q, q : 3 * q] | pooled
+        cur = cur.at[q : 3 * q, q : 3 * q, q : 3 * q].set(center)
+        levels.append(cur)
+    return jnp.stack(levels, axis=0)

@@ -1,0 +1,353 @@
+"""NGP/NeRF training runner.
+
+Parity target: `/root/reference/python/jnerf/runner/runner.py` — same tasks
+(train / test / render / save_ckpt / load_ckpt / render_img), same checkpoint
+schema, same validation cadence.  TPU-first internals:
+
+- the whole step (pixel sampling -> ray march -> model -> composite -> loss
+  -> Adam -> EMA) is ONE jitted function with donated state; the only
+  per-step Python is the dispatch;
+- the density-grid refresh is a second jitted function invoked every
+  ``update_den_freq`` steps, like the reference's cadence
+  (`density_grid_sampler.py:138-139`);
+- ray-batch shape adaptation re-specializes the step function (bounded set
+  of power-of-two shapes, see DensityGridSampler docstring).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jnerf_tpu.models.losses import img2mse, mse2psnr
+from jnerf_tpu.ops.composite import density_l1_reg
+from jnerf_tpu.dataset import camera_path
+from jnerf_tpu.utils.config import get_cfg
+from jnerf_tpu.utils.registry import (
+    DATASETS,
+    LOSSES,
+    NETWORKS,
+    OPTIMS,
+    SAMPLERS,
+    build_from_cfg,
+)
+
+# Relative strength of the reference's early-training negative-density push
+# (`calc_rgb.h:112,141`) translated into mean-loss units; see
+# jnerf_tpu/ops/composite.py.
+DENSITY_L1_COEF = 1e-4 / 384.0
+
+
+class Runner:
+    def __init__(self):
+        cfg = get_cfg()
+        self.cfg = cfg
+        self.exp_name = cfg.exp_name
+        self.dataset = {"train": build_from_cfg(cfg.dataset.train, DATASETS)}
+        cfg.dataset_obj = self.dataset["train"]
+        if cfg.dataset.val:
+            self.dataset["val"] = build_from_cfg(cfg.dataset.val, DATASETS)
+        else:
+            self.dataset["val"] = self.dataset["train"]
+        self.dataset["test"] = None
+        self.model = build_from_cfg(cfg.model, NETWORKS)
+        cfg.model_obj = self.model
+        self.sampler = build_from_cfg(cfg.sampler, SAMPLERS)
+        cfg.sampler_obj = self.sampler
+        self.loss_func = build_from_cfg(cfg.loss, LOSSES)
+
+        adam = build_from_cfg(cfg.optim, OPTIMS)
+        self.expdecay = build_from_cfg(cfg.expdecay, OPTIMS, nested_optimizer=adam) \
+            if cfg.expdecay else adam
+        self.tx = self.expdecay.make()
+        self.ema = build_from_cfg(cfg.ema, OPTIMS) if cfg.ema else None
+
+        self.background_color = jnp.asarray(cfg.background_color or [0, 0, 0],
+                                            jnp.float32)
+        self.tot_train_steps = cfg.tot_train_steps
+        self.n_rays_per_batch = cfg.n_rays_per_batch
+        self.alpha_image = bool(cfg.alpha_image)
+        self.val_freq = 4096
+
+        self.save_path = os.path.join(cfg.log_dir or "./logs", self.exp_name)
+        os.makedirs(self.save_path, exist_ok=True)
+        self.ckpt_path = cfg.ckpt_path or os.path.join(self.save_path, "params.pkl")
+
+        # --- state ---
+        key = jax.random.PRNGKey(cfg.seed if cfg.seed is not None else 42)
+        self.key, init_key = jax.random.split(key)
+        self.params = self.model.init(init_key)
+        self.opt_state = self.tx.init(self.params)
+        self.ema_state = self.ema.init(self.params) if self.ema else None
+        self.sampler.init_state()
+        self.start = 0
+        if cfg.load_ckpt:
+            self.load_ckpt(self.ckpt_path)
+
+        cfg.m_training_step = 0
+        self.image_resolutions = self.dataset["train"].resolution
+        self.W, self.H = int(self.image_resolutions[0]), int(self.image_resolutions[1])
+
+        self._train_step_cache = {}
+        self._grid_update_cache = {}
+        self._render_chunk_cache = {}
+        self.render_chunk_rays = 4096
+
+    # ------------------------------------------------------------- jit build
+    def _build_train_step(self, n_rays: int, n_samples: int):
+        model, sampler, loss_obj = self.model, self.sampler, self.loss_func
+        dataset = self.dataset["train"]
+        tx, ema = self.tx, self.ema
+        g = sampler.grid_config
+
+        def step_fn(params, opt_state, ema_state, grid_state, key):
+            k_pix, k_march, k_bg = jax.random.split(key, 3)
+            idx = jax.random.randint(
+                k_pix, (n_rays,), 0,
+                dataset.n_images * dataset.H * dataset.W,
+            )
+            from jnerf_tpu.dataset.dataset import rays_from_pixels
+
+            _img_ids, rays_o, rays_d = rays_from_pixels(
+                idx, dataset.transforms_gpu, dataset.focal_lengths,
+                dataset.principal_points, dataset.W, dataset.H,
+            )
+            rgba = dataset.image_data[idx]
+            bg = jax.random.uniform(k_bg, (n_rays, 3))
+            target = rgba[:, :3] * rgba[:, 3:] + bg * (1.0 - rgba[:, 3:])
+
+            samples = sampler.sample_fixed(grid_state, rays_o, rays_d, k_march,
+                                           n_samples)
+
+            def loss_fn(p):
+                raw = model(
+                    p,
+                    samples.positions.reshape(-1, 3),
+                    samples.dirs.reshape(-1, 3),
+                )
+                rgb = sampler.composite(samples, raw, background=bg)
+                main = jnp.mean(loss_obj(rgb, target))
+                reg = density_l1_reg(
+                    raw[:, 3].reshape(n_rays, n_samples),
+                    samples.valid,
+                    grid_state["mean"],
+                    DENSITY_L1_COEF,
+                )
+                return main + reg, main
+
+            grads, loss = jax.grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = jax.tree.map(lambda p, u: p + u, params, updates)
+            if ema is not None:
+                params, ema_state = ema.step(params, ema_state)
+            grid_state = dict(grid_state)
+            grid_state["measured_batch_size"] = (
+                grid_state["measured_batch_size"] + jnp.sum(samples.numsteps)
+            )
+            return params, opt_state, ema_state, grid_state, loss
+
+        return jax.jit(step_fn, donate_argnums=(0, 1, 2, 3))
+
+    def _train_step(self, key):
+        shape = (self.sampler.n_rays_per_batch, self.sampler.n_samples_per_ray)
+        if shape not in self._train_step_cache:
+            self._train_step_cache[shape] = self._build_train_step(*shape)
+        (self.params, self.opt_state, self.ema_state, self.sampler.state,
+         loss) = self._train_step_cache[shape](
+            self.params, self.opt_state, self.ema_state, self.sampler.state, key
+        )
+        return loss
+
+    def _update_grid(self, step: int, key):
+        n_u, n_n = self.sampler.grid_update_counts(step)
+        sig = (n_u, n_n, step == 0)
+        if sig not in self._grid_update_cache:
+            self._grid_update_cache[sig] = jax.jit(
+                lambda p, s, k: self.sampler.update_density_grid_fn(
+                    p, s, k, n_u, n_n, first_step=sig[2]
+                ),
+                donate_argnums=(1,),
+            )
+        self.sampler.state = self._grid_update_cache[sig](
+            self.params, self.sampler.state, key
+        )
+
+    # ------------------------------------------------------------------ train
+    def train(self):
+        from tqdm import tqdm
+
+        freq = self.sampler.update_den_freq
+        for i in tqdm(range(self.start, self.tot_train_steps)):
+            self.cfg.m_training_step = i
+            self.key, k_step, k_grid = jax.random.split(self.key, 3)
+            if i % freq == 0:
+                self._update_grid(i, k_grid)
+            loss = self._train_step(k_step)
+            if i % freq == freq - 1:
+                self.sampler.update_batch_rays()
+            if i > 0 and i % self.val_freq == 0:
+                psnr = mse2psnr(self.val_img(i))
+                print(f"STEP={i} | LOSS={float(jax.device_get(loss)):.5f} | "
+                      f"VAL PSNR={float(jax.device_get(psnr)):.3f}")
+        self.save_ckpt(os.path.join(self.save_path, "params.pkl"))
+        self.test()
+
+    # ------------------------------------------------------------------- test
+    def test(self, load_ckpt=False):
+        if load_ckpt:
+            self.load_ckpt(self.ckpt_path)
+        if self.dataset["test"] is None:
+            self.dataset["test"] = build_from_cfg(self.cfg.dataset.test, DATASETS)
+        os.makedirs(os.path.join(self.save_path, "test"), exist_ok=True)
+        mse_list = self.render_test(save_path=os.path.join(self.save_path, "test"))
+        if self.dataset["test"].have_img:
+            tot_psnr = float(np.mean([mse2psnr(m) for m in mse_list]))
+            print(f"TOTAL TEST PSNR===={tot_psnr}")
+            return tot_psnr
+        return None
+
+    def render(self, load_ckpt=True, save_path=None):
+        if load_ckpt:
+            assert os.path.exists(self.ckpt_path), self.ckpt_path
+            self.load_ckpt(self.ckpt_path)
+        if not save_path:
+            save_path = os.path.join(self.save_path, "demo.mp4")
+        assert save_path.endswith(".mp4")
+        import cv2
+
+        fps = 28
+        writer = cv2.VideoWriter(
+            save_path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (self.W, self.H)
+        )
+        for pose in camera_path.path_spherical():
+            img = self.render_img_with_pose(pose)
+            frame = (img * 255 + 0.5).clip(0, 255).astype("uint8")
+            writer.write(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+        writer.release()
+        return save_path
+
+    # ----------------------------------------------------------- checkpoints
+    def save_ckpt(self, path):
+        adam_state = jax.device_get(self.opt_state)
+        ckpt = {
+            "global_step": self.cfg.m_training_step,
+            "model": jax.device_get(self.params),
+            "sampler": self.sampler.state_dict(),
+            "optimizer": {"steps": self.cfg.m_training_step},
+            "nested_optimizer": adam_state,
+            "ema_optimizer": jax.device_get(self.ema_state) if self.ema else None,
+        }
+        with open(path, "wb") as f:
+            pickle.dump(ckpt, f)
+
+    def load_ckpt(self, path):
+        print("Loading ckpt from:", path)
+        with open(path, "rb") as f:
+            ckpt = pickle.load(f)
+        self.start = ckpt["global_step"]
+        self.params = jax.tree.map(jnp.asarray, ckpt["model"])
+        self.sampler.load_state_dict(ckpt["sampler"])
+        self.opt_state = jax.tree.map(jnp.asarray, ckpt["nested_optimizer"])
+        if self.ema and ckpt.get("ema_optimizer") is not None:
+            self.ema_state = jax.tree.map(jnp.asarray, ckpt["ema_optimizer"])
+
+    # -------------------------------------------------------------- rendering
+    def _build_render_chunk(self, n_rays: int, n_samples: int):
+        model, sampler = self.model, self.sampler
+
+        def chunk_fn(params, grid_state, rays_o, rays_d, key):
+            samples = sampler.sample_fixed(grid_state, rays_o, rays_d, key,
+                                           n_samples)
+            raw = model(
+                params,
+                samples.positions.reshape(-1, 3),
+                samples.dirs.reshape(-1, 3),
+            )
+            rgb, opacity = sampler.composite(samples, raw, inference=True)
+            return rgb, opacity
+
+        return jax.jit(chunk_fn)
+
+    def render_img(self, dataset_mode="train", img_id=None):
+        ds = self.dataset[dataset_mode]
+        H, W = self.H, self.W
+        if img_id is None:
+            img_id = int(np.random.randint(0, ds.n_images))
+        rays_o, rays_d = ds.generate_rays_total_test(img_id)
+        img, alpha = self._render_rays_chunked(rays_o, rays_d, H, W)
+        tar = ds.image(img_id)
+        bg = np.asarray(self.background_color)
+        img_tar = tar[..., :3] * tar[..., 3:] + bg * (1 - tar[..., 3:])
+        if not self.alpha_image:
+            img = img + bg * (1 - alpha)
+            return img, None, img_tar
+        return img, alpha, img_tar
+
+    def render_img_with_pose(self, pose):
+        rays_o, rays_d = self.dataset["train"].generate_rays_with_pose(pose)
+        img, alpha = self._render_rays_chunked(rays_o, rays_d, self.H, self.W)
+        if not self.alpha_image:
+            img = img + np.asarray(self.background_color) * (1 - alpha)
+        return img
+
+    def _render_rays_chunked(self, rays_o, rays_d, H, W):
+        n = H * W
+        chunk = self.render_chunk_rays
+        s = self.sampler.inference_samples_per_ray
+        if (chunk, s) not in self._render_chunk_cache:
+            self._render_chunk_cache[(chunk, s)] = self._build_render_chunk(chunk, s)
+        fn = self._render_chunk_cache[(chunk, s)]
+        rgb_out = np.empty((n + chunk, 3), np.float32)
+        a_out = np.empty((n + chunk, 1), np.float32)
+        key = jax.random.PRNGKey(0)
+        for px in range(0, n, chunk):
+            end = px + chunk
+            ro, rd = rays_o[px:end], rays_d[px:end]
+            if end > n:
+                pad = end - n
+                ro = jnp.concatenate([ro, jnp.ones((pad, 3), ro.dtype)], axis=0)
+                rd = jnp.concatenate([rd, jnp.ones((pad, 3), rd.dtype)], axis=0)
+            rgb, opacity = fn(self.params, self.sampler.state, ro, rd, key)
+            rgb_out[px:end] = np.asarray(rgb)
+            a_out[px:end] = np.asarray(opacity)[:, None]
+        return (
+            rgb_out[:n].reshape(H, W, 3),
+            a_out[:n].reshape(H, W, 1),
+        )
+
+    def render_test(self, save_img=True, save_path=None):
+        if save_path is None:
+            save_path = self.save_path
+        mse_list = []
+        ds = self.dataset["test"]
+        for i in range(ds.n_images):
+            img, alpha, img_tar = self.render_img(dataset_mode="test", img_id=i)
+            if save_img:
+                self.save_img(
+                    os.path.join(save_path, f"{self.exp_name}_r_{i}.png"), img, alpha
+                )
+                if ds.have_img:
+                    self.save_img(
+                        os.path.join(save_path, f"{self.exp_name}_gt_{i}.png"), img_tar
+                    )
+            mse_list.append(float(img2mse(jnp.asarray(img), jnp.asarray(img_tar))))
+        return mse_list
+
+    def val_img(self, it):
+        img, _alpha, img_tar = self.render_img(dataset_mode="val")
+        self.save_img(os.path.join(self.save_path, f"img{it}.png"), img)
+        self.save_img(os.path.join(self.save_path, f"target{it}.png"), img_tar)
+        return img2mse(jnp.asarray(img), jnp.asarray(img_tar))
+
+    @staticmethod
+    def save_img(path, img, alpha=None):
+        from PIL import Image
+
+        if alpha is not None:
+            img = np.concatenate([img, alpha], axis=-1)
+        arr = (np.asarray(img) * 255 + 0.5).clip(0, 255).astype(np.uint8)
+        Image.fromarray(arr).save(path)
