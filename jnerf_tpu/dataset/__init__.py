@@ -1,2 +1,3 @@
 from . import camera_path, dataset_util  # noqa: F401
 from .dataset import NerfDataset  # noqa: F401
+from .procedural import SyntheticSpheresDataset  # noqa: F401

@@ -72,7 +72,13 @@ class DensityGridSampler:
         self.const_dt = bool(cfg.const_dt)
         self.background_color = list(cfg.background_color or [0, 0, 0])
 
-        self.grid_config: GridConfig = make_grid_config(self.dataset.aabb_range)
+        # cfg.grid_size / cfg.nerf_steps shrink the grid for tests; the
+        # reference hard-codes 128 / 1024 (`density_grid_sampler.py:36,39`).
+        self.grid_config: GridConfig = make_grid_config(
+            self.dataset.aabb_range,
+            grid_size=cfg.grid_size or self.NERF_GRIDSIZE,
+            max_steps=cfg.nerf_steps or 1024,
+        )
         self.march_config = MarchConfig(
             grid=self.grid_config,
             near_distance=float(cfg.near_distance or 0.05),
@@ -115,14 +121,22 @@ class DensityGridSampler:
 
     def composite(self, samples: RaySamples, network_outputs, background=None,
                   inference=False):
-        """Pure/jittable: alpha-composite [R*S, 4] or [R, S, 4] raw outputs."""
+        """Pure/jittable: alpha-composite [R*S, 4] or [R, S, 4] raw outputs.
+
+        The background term is applied over the leftover transmittance for
+        ALL rays.  The reference skips it for rays cut by the global sample
+        cap (`calc_rgb.h:68-71`) — a rare overflow there, but in the fixed
+        [R, S] layout per-ray truncation is common early in training, and
+        gating bg on it lets fog along truncated rays escape supervision
+        entirely (fog -> more samples -> truncated -> no bg penalty).
+        Batch-size adaptation keeps budgets near demand, so the slight
+        overweighting of bg on truly-truncated rays is transient.
+        """
         r, s = samples.dts.shape
         raw = network_outputs.reshape(r, s, 4)
         if inference:
             return render_rays(raw, samples.dts, samples.valid)
-        rgb, _ = render_rays(
-            raw, samples.dts, samples.valid, samples.truncated, background
-        )
+        rgb, _ = render_rays(raw, samples.dts, samples.valid, None, background)
         return rgb
 
     # -------------------------------------------------- reference-shaped API
@@ -141,7 +155,7 @@ class DensityGridSampler:
         self._last_samples = samples
         if is_training:
             self.state["measured_batch_size"] = (
-                self.state["measured_batch_size"] + jnp.sum(samples.numsteps)
+                self.state["measured_batch_size"] + jnp.sum(samples.count)
             )
         r, s = samples.dts.shape
         return samples.positions.reshape(r * s, 3), samples.dirs.reshape(r * s, 3)

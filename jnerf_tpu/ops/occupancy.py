@@ -63,9 +63,10 @@ class GridConfig:
         return self.aabb_max - self.aabb_min
 
 
-def make_grid_config(aabb_range, n_training_steps=1024, cone_angle_constant=0.0):
+def make_grid_config(aabb_range, grid_size=128, max_steps=1024):
     """Derive cascade counts from the dataset aabb, like
-    `density_grid_sampler.py:56-64`."""
+    `density_grid_sampler.py:56-64`.  grid_size/max_steps below the
+    reference's 128/1024 are supported for small-scale tests."""
     aabb_min, aabb_max = aabb_range
     aabb_scale = aabb_max - aabb_min
     n_cascades = 5
@@ -75,10 +76,12 @@ def make_grid_config(aabb_range, n_training_steps=1024, cone_angle_constant=0.0)
     while (1 << max_cascade) < aabb_scale:
         max_cascade += 1
     return GridConfig(
+        grid_size=int(grid_size),
         n_cascades=n_cascades,
         max_cascade=max_cascade,
         aabb_min=float(aabb_min),
         aabb_max=float(aabb_max),
+        max_steps=int(max_steps),
     )
 
 

@@ -94,6 +94,9 @@ class RaySamples(NamedTuple):
     valid: jnp.ndarray  # [R, S] bool
     numsteps: jnp.ndarray  # [R] int32 = min(count, S)
     truncated: jnp.ndarray  # [R] bool: ray had more than S occupied candidates
+    count: jnp.ndarray  # [R] int32 occupied candidates, capped at NERF_STEPS —
+    # the *demand*, which drives batch-size adaptation like the reference's
+    # uncapped per-ray numsteps (`compacted_coord.h:63-66`)
 
 
 def aabb_ray_intersect(rays_o, rays_d, aabb_min: float, aabb_max: float):
@@ -209,4 +212,5 @@ def sample_rays(
         valid=valid,
         numsteps=jnp.minimum(count, n_samples),
         truncated=count > n_samples,
+        count=jnp.minimum(count, g.max_steps),
     )

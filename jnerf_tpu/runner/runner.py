@@ -96,6 +96,10 @@ class Runner:
         self._grid_update_cache = {}
         self._render_chunk_cache = {}
         self.render_chunk_rays = 4096
+        # Optional jax.sharding.Mesh for data-parallel training; rays shard
+        # over the mesh, params replicate, XLA psums grads (see
+        # jnerf_tpu.parallel).  None => single-device.
+        self.mesh = None
 
     # ------------------------------------------------------------- jit build
     def _build_train_step(self, n_rays: int, n_samples: int):
@@ -104,12 +108,17 @@ class Runner:
         tx, ema = self.tx, self.ema
         g = sampler.grid_config
 
+        mesh = self.mesh
+
         def step_fn(params, opt_state, ema_state, grid_state, key):
+            from jnerf_tpu.parallel import shard_rays
+
             k_pix, k_march, k_bg = jax.random.split(key, 3)
             idx = jax.random.randint(
                 k_pix, (n_rays,), 0,
                 dataset.n_images * dataset.H * dataset.W,
             )
+            idx = shard_rays(idx, mesh)
             from jnerf_tpu.dataset.dataset import rays_from_pixels
 
             _img_ids, rays_o, rays_d = rays_from_pixels(
@@ -146,7 +155,7 @@ class Runner:
                 params, ema_state = ema.step(params, ema_state)
             grid_state = dict(grid_state)
             grid_state["measured_batch_size"] = (
-                grid_state["measured_batch_size"] + jnp.sum(samples.numsteps)
+                grid_state["measured_batch_size"] + jnp.sum(samples.count)
             )
             return params, opt_state, ema_state, grid_state, loss
 
