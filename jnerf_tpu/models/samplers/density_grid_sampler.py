@@ -188,27 +188,43 @@ class DensityGridSampler:
             )
 
         k_u, k_n = jax.random.split(key)
-        idx_parts, pos_parts = [], []
+        idx_parts, comp_parts = [], []
         if n_uniform:
             i_u, p_u = generate_grid_samples(
                 k_u, grid, state["ema_step"], n_uniform, -0.01, g
             )
             idx_parts.append(i_u)
-            pos_parts.append(p_u)
+            comp_parts.append(p_u)
         if n_nonuniform:
             i_n, p_n = generate_grid_samples(
                 k_n, grid, state["ema_step"], n_nonuniform,
                 self.NERF_MIN_OPTICAL_THICKNESS, g,
             )
             idx_parts.append(i_n)
-            pos_parts.append(p_n)
+            comp_parts.append(p_n)
         indices = jnp.concatenate(idx_parts)
-        positions = jnp.concatenate(pos_parts)
+        # Warp to aabb-relative coords (what the hash grid is defined over).
+        warped = jnp.stack(
+            [
+                (jnp.concatenate([c[d] for c in comp_parts]) - g.aabb_min)
+                / g.aabb_diag
+                for d in range(3)
+            ],
+            axis=-1,
+        )
 
-        # Query raw densities at warped positions (model.density expects the
-        # aabb-relative coordinates the hash grid is defined over).
-        warped = (positions - g.aabb_min) / g.aabb_diag
-        raw = self.model.density(params, warped)
+        # Chunked density queries bound peak HBM (the reference blocks at
+        # update_block_size=5e6, `density_grid_sampler.py:229-238`; our
+        # hash-encode intermediates are [chunk, 128] so we block smaller).
+        n_total = warped.shape[0]
+        chunk = min(n_total, 1 << 19)
+        if n_total % chunk == 0 and n_total // chunk > 1:
+            raw = jax.lax.map(
+                lambda p: self.model.density(params, p)[:, 0],
+                warped.reshape(n_total // chunk, chunk, 3),
+            ).reshape(-1)
+        else:
+            raw = self.model.density(params, warped)[:, 0]
 
         grid_tmp = jnp.zeros_like(grid)
         grid_tmp = splat_density(indices, raw, grid_tmp, g)

@@ -13,7 +13,10 @@ Reimplements the reference's grid machinery
   (linear layout — morton order only served GPU memory locality);
 - the cascade max-pool writes the 2x-downsampled finer level into the center
   octant ``[G/4, 3G/4)`` of the next level, exactly like
-  ``bitfield_max_pool`` (`update_bitfield.h:47-69`).
+  ``bitfield_max_pool`` (`update_bitfield.h:47-69`);
+- positions flow through as separate x/y/z component arrays (SoA): TPU
+  vector tiling pads a trailing size-3 axis to 128 lanes, so ``[N, 3]``
+  arrays at N in the millions would waste ~42x HBM.
 
 All functions are pure and jittable; grid state is a small pytree.
 """
@@ -86,48 +89,55 @@ def make_grid_config(aabb_range, grid_size=128, max_steps=1024):
 
 
 # --------------------------------------------------------------------- mips
-def mip_from_pos(pos, cfg: GridConfig):
-    """Finest cascade containing pos ([..., 3] world coords) — `:58-65`."""
-    maxval = jnp.max(jnp.abs(pos - 0.5), axis=-1)
-    # frexp exponent e of x is floor(log2(x)) + 1.
-    e = jnp.floor(jnp.log2(jnp.maximum(maxval, 1e-10))).astype(jnp.int32) + 1
-    return jnp.clip(e + 1, 0, cfg.n_cascades - 1)
+def _exp_of(x):
+    """frexp-style exponent: e with x = m * 2^e, m in [0.5, 1)."""
+    return jnp.floor(jnp.log2(jnp.maximum(x, 1e-10))).astype(jnp.int32) + 1
 
 
-def mip_from_dt(dt, pos, cfg: GridConfig):
-    """Cascade from step size and position — `:67-77`."""
-    mip = mip_from_pos(pos, cfg)
+def mip_from_pos_xyz(px, py, pz, cfg: GridConfig):
+    """Finest cascade containing the position — `ray_sampler_header.h:58-65`."""
+    maxval = jnp.maximum(
+        jnp.abs(px - 0.5), jnp.maximum(jnp.abs(py - 0.5), jnp.abs(pz - 0.5))
+    )
+    return jnp.clip(_exp_of(maxval) + 1, 0, cfg.n_cascades - 1)
+
+
+def mip_from_dt_xyz(dt, px, py, pz, cfg: GridConfig):
+    """Cascade from step size and position — `ray_sampler_header.h:67-77`."""
+    mip = mip_from_pos_xyz(px, py, pz, cfg)
     d = dt * (2 * cfg.grid_size)
-    e = jnp.floor(jnp.log2(jnp.maximum(d, 1e-10))).astype(jnp.int32) + 1
-    return jnp.where(d < 1.0, mip, jnp.clip(jnp.maximum(e, mip), 0, cfg.n_cascades - 1))
+    return jnp.where(
+        d < 1.0, mip, jnp.clip(jnp.maximum(_exp_of(d), mip), 0, cfg.n_cascades - 1)
+    )
 
 
-def _cell_coords(pos, mip, cfg: GridConfig):
-    """World pos -> integer cell coords in cascade ``mip`` — `:826-840`."""
-    mip_scale = jnp.exp2(-mip.astype(jnp.float32))
-    p = (pos - 0.5) * mip_scale[..., None] + 0.5
-    i = jnp.floor(p * cfg.grid_size).astype(jnp.int32)
-    return jnp.clip(i, 0, cfg.grid_size - 1)
+def occupancy_at_xyz(bitfield, px, py, pz, mip, cfg: GridConfig):
+    """bitfield: [C, G, G, G] bool; p*: [...] components -> bool [...].
 
-
-def occupancy_at(bitfield, pos, mip, cfg: GridConfig):
-    """bitfield: [C, G, G, G] bool; pos [..., 3]; mip [...] -> bool [...]."""
-    i = _cell_coords(pos, mip, cfg)
+    `cascaded_grid_idx_at` + `density_grid_occupied_at`
+    (`ray_sampler_header.h:826-848`).
+    """
     g = cfg.grid_size
-    flat = ((mip * g + i[..., 0]) * g + i[..., 1]) * g + i[..., 2]
+    mip_scale = jnp.exp2(-mip.astype(jnp.float32))
+
+    def cell(p):
+        q = (p - 0.5) * mip_scale + 0.5
+        return jnp.clip(jnp.floor(q * g).astype(jnp.int32), 0, g - 1)
+
+    ix, iy, iz = cell(px), cell(py), cell(pz)
+    flat = ((mip * g + ix) * g + iy) * g + iz
     return jnp.take(bitfield.reshape(-1), flat, axis=0)
 
 
 # ------------------------------------------------------------- grid updates
-def _cell_centers(level: int, cfg: GridConfig, jitter=None):
-    """[G^3, 3] world positions of (optionally jittered) cell centers."""
+def _cell_centers_xyz(cfg: GridConfig):
+    """([G^3], [G^3], [G^3]) cell-index components, x-major flat order."""
     g = cfg.grid_size
-    r = jnp.arange(g, dtype=jnp.float32)
-    gx, gy, gz = jnp.meshgrid(r, r, r, indexing="ij")
-    xyz = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
-    off = 0.5 if jitter is None else jitter
-    pos = (xyz + off) / g - 0.5
-    return pos * (2.0 ** level) + 0.5
+    lin = jnp.arange(cfg.n_cells, dtype=jnp.int32)
+    x = lin // (g * g)
+    y = (lin // g) % g
+    z = lin % g
+    return x, y, z
 
 
 def mark_untrained_grid(poses, focal_lengths, resolution, cfg: GridConfig):
@@ -135,27 +145,35 @@ def mark_untrained_grid(poses, focal_lengths, resolution, cfg: GridConfig):
 
     Vectorized `mark_untrained_density_grid.h:12-47`: project each cell
     center into every camera frustum with voxel-radius slack; scan over
-    images keeps peak memory at one [C*G^3] visibility mask.
+    images keeps peak memory at a few [C*G^3] 1-D masks.
     Returns [C, G, G, G] float32.
     """
     g = cfg.grid_size
     W, H = resolution
-    centers = jnp.concatenate(
-        [_cell_centers(level, cfg) for level in range(cfg.n_cascades)], axis=0
-    )  # [C*G^3, 3]
+    xs, ys, zs = _cell_centers_xyz(cfg)
+
+    def center(comp, level):
+        return ((comp.astype(jnp.float32) + 0.5) / g - 0.5) * (2.0 ** level) + 0.5
+
+    cx = jnp.concatenate([center(xs, l) for l in range(cfg.n_cascades)])
+    cy = jnp.concatenate([center(ys, l) for l in range(cfg.n_cascades)])
+    cz = jnp.concatenate([center(zs, l) for l in range(cfg.n_cascades)])
     radii = jnp.concatenate(
         [
-            jnp.full((cfg.n_cells,), 0.5 * SQRT3 * (2.0 ** level) / g)
-            for level in range(cfg.n_cascades)
+            jnp.full((cfg.n_cells,), 0.5 * SQRT3 * (2.0 ** l) / g)
+            for l in range(cfg.n_cascades)
         ]
     )
 
     def body(j, seen):
         xform = poses[j]  # [3, 4]
-        ploc = centers - xform[:, 3]
-        x = ploc @ xform[:, 0]
-        y = ploc @ xform[:, 1]
-        z = ploc @ xform[:, 2]
+        lx = cx - xform[0, 3]
+        ly = cy - xform[1, 3]
+        lz = cz - xform[2, 3]
+        # dot with camera basis columns
+        x = lx * xform[0, 0] + ly * xform[1, 0] + lz * xform[2, 0]
+        y = lx * xform[0, 1] + ly * xform[1, 1] + lz * xform[2, 1]
+        z = lx * xform[0, 2] + ly * xform[1, 2] + lz * xform[2, 2]
         fx, fy = focal_lengths[j, 0], focal_lengths[j, 1]
         vis = (
             (z > 0)
@@ -164,15 +182,13 @@ def mark_untrained_grid(poses, focal_lengths, resolution, cfg: GridConfig):
         )
         return seen | vis
 
-    seen = jax.lax.fori_loop(
-        0, poses.shape[0], body, jnp.zeros(centers.shape[0], bool)
-    )
+    seen = jax.lax.fori_loop(0, poses.shape[0], body, jnp.zeros(cx.shape[0], bool))
     grid = jnp.where(seen, 0.0, -1.0)
     return grid.reshape(cfg.n_cascades, g, g, g)
 
 
 def generate_grid_samples(key, grid, step, n_samples, thresh, cfg: GridConfig):
-    """Pick n_samples (cell_index, jittered position) pairs.
+    """Pick n_samples cells + jittered positions inside them.
 
     Faithful to `generate_grid_samples_nerf_nonuniform.h:10-35`: a random
     cascade in [0, max_cascade], then up to 10 tries of the deterministic
@@ -181,11 +197,12 @@ def generate_grid_samples(key, grid, step, n_samples, thresh, cfg: GridConfig):
     probe values as morton codes; we interpret them in our linear layout —
     an equally uniform cell distribution.
 
-    Returns (indices [n] int32 flat into [C*G^3], positions [n, 3] world).
+    Returns (indices [n] int32 flat into [C*G^3], (x, y, z) [n] world
+    position components).
     """
     g = cfg.grid_size
     n_cascades = cfg.max_cascade + 1
-    k_level, k_jitter = jax.random.split(key)
+    k_level, kx, ky, kz = jax.random.split(key, 4)
     level = jax.random.randint(k_level, (n_samples,), 0, n_cascades)
 
     i = jnp.arange(n_samples, dtype=jnp.uint32)
@@ -203,13 +220,16 @@ def generate_grid_samples(key, grid, step, n_samples, thresh, cfg: GridConfig):
     idx = jnp.take_along_axis(idx_cand, pick[:, None], axis=1)[:, 0]
 
     pos_idx = idx % cfg.n_cells
-    x = pos_idx // (g * g)
-    y = (pos_idx // g) % g
-    z = pos_idx % g
-    xyz = jnp.stack([x, y, z], axis=-1).astype(jnp.float32)
-    jitter = jax.random.uniform(k_jitter, (n_samples, 3))
-    pos = ((xyz + jitter) / g - 0.5) * jnp.exp2(level.astype(jnp.float32))[:, None] + 0.5
-    return idx, pos
+    mip_scale = jnp.exp2(level.astype(jnp.float32))
+
+    def world(comp, k):
+        u = jax.random.uniform(k, (n_samples,))
+        return ((comp.astype(jnp.float32) + u) / g - 0.5) * mip_scale + 0.5
+
+    x = world(pos_idx // (g * g), kx)
+    y = world((pos_idx // g) % g, ky)
+    z = world(pos_idx % g, kz)
+    return idx, (x, y, z)
 
 
 def splat_density(indices, raw_density, grid_tmp, cfg: GridConfig):
@@ -249,9 +269,7 @@ def update_bitfield(grid, mean, cfg: GridConfig):
     levels = [bits[0]]
     for level in range(1, cfg.n_cascades):
         prev = levels[-1]
-        pooled = (
-            prev.reshape(g // 2, 2, g // 2, 2, g // 2, 2).any(axis=(1, 3, 5))
-        )
+        pooled = prev.reshape(g // 2, 2, g // 2, 2, g // 2, 2).any(axis=(1, 3, 5))
         cur = bits[level]
         center = cur[q : 3 * q, q : 3 * q, q : 3 * q] | pooled
         cur = cur.at[q : 3 * q, q : 3 * q, q : 3 * q].set(center)

@@ -37,7 +37,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .occupancy import GridConfig, mip_from_dt, occupancy_at
+from .occupancy import GridConfig, mip_from_dt_xyz, occupancy_at_xyz
 
 
 @dataclass(frozen=True)
@@ -108,6 +108,11 @@ def aabb_ray_intersect(rays_o, rays_d, aabb_min: float, aabb_max: float):
     tmax = jnp.min(jnp.maximum(t0, t1), axis=-1)
     tmin = jnp.maximum(tmin, 0.0)
     return tmin, jnp.where(tmax >= tmin, tmax, tmin)
+
+
+def _ray_components(rays):
+    """[R, 3] -> three [R] arrays (SoA; avoids minor-dim-3 tiling waste)."""
+    return rays[:, 0], rays[:, 1], rays[:, 2]
 
 
 def candidate_ts(cfg: MarchConfig, t_start, n: int):
@@ -185,12 +190,21 @@ def sample_rays(
     t_start = tmin + dt0 * u
 
     t, dt = candidate_ts(cfg, t_start, cfg.n_candidates)  # [R, K]
-    pos = rays_o[:, None, :] + t[..., None] * rays_d[:, None, :]  # [R, K, 3]
-    inside = jnp.all((pos >= g.aabb_min) & (pos <= g.aabb_max), axis=-1) & (
-        t <= tmax[:, None]
-    )
-    mip = mip_from_dt(dt, pos, g)
-    occ = inside & occupancy_at(bitfield, pos, mip, g)
+
+    # Candidate positions as separate x/y/z [R, K] arrays: a [R, K, 3] AoS
+    # array would tile-pad its minor dim to 128 lanes (42x HBM waste).
+    ox, oy, oz = _ray_components(rays_o)
+    dx, dy, dz = _ray_components(rays_d)
+    px = ox[:, None] + t * dx[:, None]
+    py = oy[:, None] + t * dy[:, None]
+    pz = oz[:, None] + t * dz[:, None]
+
+    def _in(p):
+        return (p >= g.aabb_min) & (p <= g.aabb_max)
+
+    inside = _in(px) & _in(py) & _in(pz) & (t <= tmax[:, None])
+    mip = mip_from_dt_xyz(dt, px, py, pz, g)
+    occ = inside & occupancy_at_xyz(bitfield, px, py, pz, mip, g)
 
     idx, count = _first_s_indices(occ, n_samples)  # [R, S], [R]
     t_sel = jnp.take_along_axis(t, idx, axis=1)
@@ -198,10 +212,12 @@ def sample_rays(
     s_range = jnp.arange(n_samples, dtype=jnp.int32)[None, :]
     valid = s_range < count[:, None]
 
-    pos_sel = rays_o[:, None, :] + t_sel[..., None] * rays_d[:, None, :]
     # warp_position = aabb.relative_pos (`ray_sampler_header.h:852-858`).
-    pos_warp = (pos_sel - g.aabb_min) / g.aabb_diag
-    pos_warp = jnp.where(valid[..., None], pos_warp, 0.5)
+    def _warp(o, d):
+        w = (o[:, None] + t_sel * d[:, None] - g.aabb_min) / g.aabb_diag
+        return jnp.where(valid, w, 0.5)
+
+    pos_warp = jnp.stack([_warp(ox, dx), _warp(oy, dy), _warp(oz, dz)], axis=-1)
     dir_warp = jnp.broadcast_to(
         (rays_d * 0.5 + 0.5)[:, None, :], pos_warp.shape
     )

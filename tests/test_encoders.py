@@ -72,8 +72,9 @@ class TestHashGrid:
         spec = HashGridSpec(n_levels=4)
         pos = jnp.asarray(np.random.default_rng(0).uniform(0, 1, size=(32, 3)), jnp.float32)
         idx, w = hash_grid_indices(spec, pos)
-        assert idx.shape == (32, 4, 8)
-        np.testing.assert_allclose(np.asarray(w.sum(-1)), 1.0, atol=1e-5)
+        assert idx.shape == (32, 4 * 8)
+        per_level = np.asarray(w).reshape(32, 4, 8).sum(-1)
+        np.testing.assert_allclose(per_level, 1.0, atol=1e-5)
         assert int(idx.max()) < spec.n_entries
         assert int(idx.min()) >= 0
 

@@ -8,8 +8,7 @@ from jnerf_tpu.ops.composite import render_rays
 from jnerf_tpu.ops.occupancy import (
     GridConfig,
     make_grid_config,
-    mip_from_pos,
-    occupancy_at,
+    mip_from_pos_xyz,
     update_bitfield,
 )
 from jnerf_tpu.ops.ray_march import (
@@ -41,15 +40,20 @@ class TestAabb:
 
 
 class TestMip:
+    def _mips(self, pos, cfg):
+        pos = jnp.asarray(pos)
+        return np.asarray(
+            mip_from_pos_xyz(pos[:, 0], pos[:, 1], pos[:, 2], cfg)
+        )
+
     def test_inside_unit_cube_is_mip0(self):
         cfg = GridConfig()
-        pos = jnp.asarray([[0.5, 0.5, 0.5], [0.3, 0.7, 0.45], [0.05, 0.95, 0.5]])
-        np.testing.assert_array_equal(np.asarray(mip_from_pos(pos, cfg)), [0, 0, 0])
+        mips = self._mips([[0.5, 0.5, 0.5], [0.3, 0.7, 0.45], [0.05, 0.95, 0.5]], cfg)
+        np.testing.assert_array_equal(mips, [0, 0, 0])
 
     def test_outside_increases(self):
         cfg = GridConfig()
-        pos = jnp.asarray([[1.3, 0.5, 0.5], [2.4, 0.5, 0.5]])
-        mips = np.asarray(mip_from_pos(pos, cfg))
+        mips = self._mips([[1.3, 0.5, 0.5], [2.4, 0.5, 0.5]], cfg)
         assert mips[0] == 1  # |0.8| in (0.5, 1]
         assert mips[1] == 2  # |1.9| in (1, 2]
 
