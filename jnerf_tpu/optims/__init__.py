@@ -84,3 +84,5 @@ class EMA:
             state["shadow"],
         )
         return new_params, {"shadow": new_params, "steps": steps}
+
+from .linearlog import LinearLog  # noqa: F401
