@@ -24,6 +24,7 @@ class HashEncoder:
         log2_hashmap_size=19,
         aabb_scale=None,
         hash_func=None,
+        indexing=None,
     ):
         cfg = get_cfg()
         if aabb_scale is None:
@@ -32,7 +33,14 @@ class HashEncoder:
             )
         if hash_func is None:
             hash_func = cfg.hash_func or DEFAULT_HASH_FUNC
+        if indexing is None:
+            # 'linear_rows' = TPU-fast packed-neighborhood path (per-level
+            # linear hashes, one row-gather per sample-level);
+            # 'xor' = reference-exact hash_func semantics (element gathers,
+            # ~60x slower on TPU; see ops/hash_grid_rows.py).
+            indexing = cfg.hash_indexing or "linear_rows"
         assert n_pos_dims == 3, "hash grid is 3-D"
+        self.indexing = indexing
         self.spec = HashGridSpec(
             n_levels=n_levels,
             n_features_per_level=n_features_per_level,
@@ -47,5 +55,18 @@ class HashEncoder:
     def init(self, key):
         return {"grid": self.spec.init_table(key)}
 
-    def __call__(self, params, x):
+    def build_packed(self, params):
+        """Precompute the packed neighborhood table (row path); callers in
+        multi-invocation loops pass it back via __call__ to share the work."""
+        from jnerf_tpu.ops.hash_grid_rows import build_packed_table
+
+        return build_packed_table(self.spec, params["grid"])
+
+    def __call__(self, params, x, packed=None):
+        if self.indexing == "linear_rows":
+            from jnerf_tpu.ops.hash_grid_rows import hash_encode_rows
+
+            return hash_encode_rows(
+                self.spec, params["grid"], x, self.compute_dtype, packed=packed
+            )
         return hash_encode(self.spec, params["grid"], x, self.compute_dtype)

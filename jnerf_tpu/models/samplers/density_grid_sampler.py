@@ -216,15 +216,16 @@ class DensityGridSampler:
         # Chunked density queries bound peak HBM (the reference blocks at
         # update_block_size=5e6, `density_grid_sampler.py:229-238`; our
         # hash-encode intermediates are [chunk, 128] so we block smaller).
+        # Python-level chunk loop (not lax.map) so XLA CSEs loop-invariant
+        # work (e.g. the packed hash-table build) across chunks.
         n_total = warped.shape[0]
         chunk = min(n_total, 1 << 19)
-        if n_total % chunk == 0 and n_total // chunk > 1:
-            raw = jax.lax.map(
-                lambda p: self.model.density(params, p)[:, 0],
-                warped.reshape(n_total // chunk, chunk, 3),
-            ).reshape(-1)
-        else:
-            raw = self.model.density(params, warped)[:, 0]
+        raw = jnp.concatenate(
+            [
+                self.model.density(params, warped[i : i + chunk])[:, 0]
+                for i in range(0, n_total, chunk)
+            ]
+        )
 
         grid_tmp = jnp.zeros_like(grid)
         grid_tmp = splat_density(indices, raw, grid_tmp, g)

@@ -1,0 +1,158 @@
+"""Row-gather hash-grid encoding — the TPU-fast path.
+
+Motivation (measured on the bench TPU, tools/probe_tpu2.py): XLA random
+access runs at ~0.1G ops/s whether gathering single elements or whole
+128-lane rows.  The generic path (`jnerf_tpu.ops.hash_grid`) needs
+8 corners x L levels element-gathers per sample (33.5M/step at NGP scale =
+~300ms); this path needs ONE 128-lane row-gather per (sample, level)
+(4.2M/step) — a 64x reduction in random accesses — by restructuring the
+table:
+
+- every entry's full 2x2x2 corner neighborhood (8 corners x 2 features)
+  is precomputed into a "packed" table; 8 consecutive base entries share a
+  [128]-lane row;
+- the packing is built per step from the master table with ``jnp.roll``
+  (bandwidth-bound, ~5ms) — possible because this path replaces the
+  reference's XOR hash (`HashEncode.h:69-73`) with per-level LINEAR hashes
+  ``(x*A + y*B + z*C) mod size``: a corner step (+1 in x/y/z) is then a
+  constant additive offset, i.e. a roll of the table.  Dense levels already
+  index linearly (`grid_index`'s stride accumulation) so they are exact
+  reference semantics; hashed levels trade the XOR hash's collision pattern
+  for a per-level-randomized lattice pattern (quality validated e2e);
+- the trilinear blend happens in-register on the gathered rows (lane
+  masking + reductions, fused by XLA into the gather consumer);
+- the backward is autodiff: a row scatter-add into the packed table, then
+  rolls back onto the master — all at row rate.
+
+The master table layout ([n_entries, 2], same level offsets) is shared with
+the generic path, so checkpoints are interchangeable.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .hash_grid import HashGridSpec
+
+
+def level_multipliers(spec: HashGridSpec) -> Tuple[Tuple[int, int, int], ...]:
+    """(A, B, C) per level: dense strides for dense levels, randomized odd
+    constants for hashed levels (decorrelated across levels)."""
+    rng = np.random.default_rng(0x5F3759DF)
+    out = []
+    for lvl in range(spec.n_levels):
+        res = spec.resolutions[lvl]
+        size = spec.level_sizes[lvl]
+        if res ** 3 <= size:
+            out.append((1, res, res * res))
+        else:
+            a = int(rng.integers(1 << 16, 1 << 30)) | 1
+            b = int(rng.integers(1 << 16, 1 << 30)) | 1
+            c = int(rng.integers(1 << 16, 1 << 30)) | 1
+            out.append((a, b, c))
+    return tuple(out)
+
+
+def _corner_offsets(spec: HashGridSpec):
+    """[L, 8] additive index offset of each corner, mod the level size."""
+    mults = level_multipliers(spec)
+    offs = np.zeros((spec.n_levels, 8), np.int64)
+    for lvl, (a, b, c) in enumerate(mults):
+        size = spec.level_sizes[lvl]
+        for corner in range(8):
+            dx, dy, dz = corner & 1, (corner >> 1) & 1, (corner >> 2) & 1
+            offs[lvl, corner] = (dx * a + dy * b + dz * c) % size
+    return offs
+
+
+def packed_row_offsets(spec: HashGridSpec):
+    """Row offset of each level in the packed [total/8, 128] table."""
+    offs = [0]
+    for sz in spec.level_sizes:
+        offs.append(offs[-1] + sz // 8)
+    return tuple(offs)
+
+
+def build_packed_table(spec: HashGridSpec, table: jnp.ndarray) -> jnp.ndarray:
+    """Master [n_entries, 2] -> packed [n_entries/8, 128].
+
+    Row r of level l holds base entries 8r..8r+7; within a base's 16-lane
+    block, lane layout is corner-major: lane = corner*2 + feature.
+    Differentiable (rolls + reshapes only).
+    """
+    corner_offs = _corner_offsets(spec)
+    parts = []
+    for lvl in range(spec.n_levels):
+        o, sz = spec.level_offsets[lvl], spec.level_sizes[lvl]
+        sl = jax.lax.dynamic_slice_in_dim(table, o, sz, 0)  # [sz, 2]
+        rolled = [
+            jnp.roll(sl, -int(corner_offs[lvl, c]), axis=0) for c in range(8)
+        ]
+        neigh = jnp.concatenate(rolled, axis=1)  # [sz, 16] corner-major
+        parts.append(neigh.reshape(sz // 8, 128))
+    return jnp.concatenate(parts, axis=0)
+
+
+def base_indices_weights(spec: HashGridSpec, pos: jnp.ndarray):
+    """Per (sample, level): base entry index and trilinear corner weights.
+
+    pos: [N, 3] in [0, 1].  Returns (e0 [N, L] int32 level-local,
+    weights [N, L, 8] f32).
+    """
+    mults = level_multipliers(spec)
+    A = jnp.asarray([m[0] for m in mults], jnp.uint32)
+    B = jnp.asarray([m[1] for m in mults], jnp.uint32)
+    C = jnp.asarray([m[2] for m in mults], jnp.uint32)
+    sizes = jnp.asarray(spec.level_sizes, jnp.uint32)
+    scales = jnp.asarray(spec.scales, jnp.float32)
+
+    g0, fr = [], []
+    for d in range(3):
+        p = pos[:, d, None] * scales[None, :] + 0.5  # [N, L]
+        g = jnp.floor(p)
+        fr.append(p - g)
+        g0.append(g.astype(jnp.uint32))
+    e0 = (g0[0] * A[None] + g0[1] * B[None] + g0[2] * C[None]) % sizes[None]
+
+    # corner-major weights: corner bits (dx, dy, dz) = (c&1, c>>1&1, c>>2&1)
+    w = []
+    for c in range(8):
+        dx, dy, dz = c & 1, (c >> 1) & 1, (c >> 2) & 1
+        w.append(
+            (fr[0] if dx else 1 - fr[0])
+            * (fr[1] if dy else 1 - fr[1])
+            * (fr[2] if dz else 1 - fr[2])
+        )
+    return e0.astype(jnp.int32), jnp.stack(w, axis=-1)
+
+
+def hash_encode_rows(spec: HashGridSpec, table: jnp.ndarray, pos: jnp.ndarray,
+                     compute_dtype=None, packed=None):
+    """[N, 3] -> [N, 2L] feature-major; one row-gather per (sample, level)."""
+    pos = jax.lax.stop_gradient(pos)
+    n = pos.shape[0]
+    L = spec.n_levels
+    if packed is None:
+        packed = build_packed_table(spec, table)
+    row_offs = jnp.asarray(packed_row_offsets(spec)[:-1], jnp.int32)
+
+    e0, w = base_indices_weights(spec, pos)  # [N, L], [N, L, 8]
+    rows_idx = row_offs[None, :] + (e0 >> 3)  # [N, L]
+    sub = (e0 & 7).reshape(-1)  # [N*L]
+
+    rows = jnp.take(packed, rows_idx.reshape(-1), axis=0)  # [N*L, 128]
+    # Select the 16-lane block of each sample's base entry, then blend the
+    # 8 corners.  All elementwise/reduce -> fuses into the gather consumer.
+    block_of_lane = jnp.arange(128, dtype=jnp.int32)[None, :] >> 4  # [1,128]
+    mask = (block_of_lane == sub[:, None]).astype(rows.dtype)
+    sel = (rows * mask).reshape(n * L, 8, 16).sum(axis=1)  # [N*L, 16]
+    sel = sel.reshape(n, L, 8, 2)
+    if compute_dtype is not None:
+        sel = sel.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    feat = jnp.einsum("nlcf,nlc->nlf", sel, w)  # [N, L, 2]
+    return jnp.concatenate([feat[..., 0], feat[..., 1]], axis=-1)
