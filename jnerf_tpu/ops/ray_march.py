@@ -47,10 +47,25 @@ class MarchConfig:
     cone_angle: float = 0.0  # 0 => const_dt
     const_dt: bool = True
     n_candidates: int = 0  # K; 0 => derive from geometry
+    # Occupancy is probed every `probe_stride` candidates (segment-center
+    # probe applied to the whole segment).  Random bool gathers run at only
+    # ~0.1G/s on TPU (tools/probe_tpu2.py), and with const_dt there are ~9
+    # candidates per grid voxel, so probing each candidate is ~9x redundant.
+    # 0 => auto (~one probe per voxel crossing); 1 => exact per-candidate.
+    probe_stride: int = 0
 
     def __post_init__(self):
         if self.n_candidates == 0:
             object.__setattr__(self, "n_candidates", self.default_candidates())
+        if self.probe_stride == 0:
+            if self.const_dt:
+                voxel = self.grid.aabb_diag / self.grid.grid_size
+                stride = max(1, int(voxel / self.dt_const * 0.75))
+                stride = 1 << (stride.bit_length() - 1)  # pow2 for reshapes
+            else:
+                stride = 1  # cone-angle steps already track voxel scale
+            object.__setattr__(self, "probe_stride", min(stride, 8))
+        assert self.n_candidates % self.probe_stride == 0
 
     @property
     def dt_min(self) -> float:
@@ -203,8 +218,23 @@ def sample_rays(
         return (p >= g.aabb_min) & (p <= g.aabb_max)
 
     inside = _in(px) & _in(py) & _in(pz) & (t <= tmax[:, None])
-    mip = mip_from_dt_xyz(dt, px, py, pz, g)
-    occ = inside & occupancy_at_xyz(bitfield, px, py, pz, mip, g)
+
+    # Strided occupancy probing (see MarchConfig.probe_stride): one bitfield
+    # lookup per segment of `stride` candidates, probed at segment center.
+    stride = cfg.probe_stride
+    if stride > 1:
+        r, k = t.shape
+        tp = 0.5 * (t[:, ::stride] + t[:, stride - 1 :: stride])  # [R, K/s]
+        qx = ox[:, None] + tp * dx[:, None]
+        qy = oy[:, None] + tp * dy[:, None]
+        qz = oz[:, None] + tp * dz[:, None]
+        dtp = dt[:, ::stride]
+        mip = mip_from_dt_xyz(dtp, qx, qy, qz, g)
+        occ_probe = occupancy_at_xyz(bitfield, qx, qy, qz, mip, g)
+        occ = inside & jnp.repeat(occ_probe, stride, axis=1)
+    else:
+        mip = mip_from_dt_xyz(dt, px, py, pz, g)
+        occ = inside & occupancy_at_xyz(bitfield, px, py, pz, mip, g)
 
     idx, count = _first_s_indices(occ, n_samples)  # [R, S], [R]
     t_sel = jnp.take_along_axis(t, idx, axis=1)
