@@ -53,10 +53,16 @@ class NGPNetworks:
             "rgb_mlp": init_mlp(k_rgb, self.rgb_dims, bias=False),
         }
 
-    def __call__(self, params, pos, dirs):
+    def _encode_pos(self, params, pos, packed=None):
+        try:
+            return self.pos_encoder(params["pos_encoder"], pos, packed=packed)
+        except TypeError:  # encoders without a packed-table fast path
+            return self.pos_encoder(params["pos_encoder"], pos)
+
+    def __call__(self, params, pos, dirs, packed=None):
         """[N,3] warped pos, [N,3] warped dirs -> [N,4] raw (rgb, sigma)."""
         dir_feat = self.dir_encoder(params["dir_encoder"], dirs)
-        pos_feat = self.pos_encoder(params["pos_encoder"], pos)
+        pos_feat = self._encode_pos(params, pos, packed)
         density = apply_mlp(params["density_mlp"], pos_feat, self.compute_dtype)
         h = jnp.concatenate(
             [density.astype(self.compute_dtype), dir_feat.astype(self.compute_dtype)],
@@ -65,8 +71,14 @@ class NGPNetworks:
         rgb = apply_mlp(params["rgb_mlp"], h, self.compute_dtype)
         return jnp.concatenate([rgb, density[..., :1]], axis=-1).astype(jnp.float32)
 
-    def density(self, params, pos):
+    def density(self, params, pos, packed=None):
         """[N,3] warped pos -> [N,1] raw sigma (pre-activation)."""
-        feat = self.pos_encoder(params["pos_encoder"], pos)
+        feat = self._encode_pos(params, pos, packed)
         out = apply_mlp(params["density_mlp"], feat, self.compute_dtype)
         return out[:, :1].astype(jnp.float32)
+
+    def build_packed(self, params):
+        """Hoisted packed-table build for multi-chunk density sweeps."""
+        if hasattr(self.pos_encoder, "build_packed"):
+            return self.pos_encoder.build_packed(params["pos_encoder"])
+        return None

@@ -215,17 +215,28 @@ class DensityGridSampler:
 
         # Chunked density queries bound peak HBM (the reference blocks at
         # update_block_size=5e6, `density_grid_sampler.py:229-238`; our
-        # hash-encode intermediates are [chunk, 128] so we block smaller).
-        # Python-level chunk loop (not lax.map) so XLA CSEs loop-invariant
-        # work (e.g. the packed hash-table build) across chunks.
+        # hash-encode intermediates are [chunk*levels, 128] so we block much
+        # smaller).  lax.map forces sequential execution with buffer reuse
+        # (a python chunk loop lets XLA keep every chunk's 2 GB of gather
+        # temporaries live at once — observed HBM OOM); the packed hash
+        # table is hoisted out so it builds once, not per chunk.
         n_total = warped.shape[0]
-        chunk = min(n_total, 1 << 19)
-        raw = jnp.concatenate(
-            [
-                self.model.density(params, warped[i : i + chunk])[:, 0]
-                for i in range(0, n_total, chunk)
-            ]
+        chunk = min(n_total, 1 << 17)
+        packed = (
+            self.model.build_packed(params)
+            if hasattr(self.model, "build_packed") else None
         )
+        if packed is not None:
+            density_fn = lambda p: self.model.density(params, p, packed=packed)
+        else:
+            density_fn = lambda p: self.model.density(params, p)
+        if n_total % chunk == 0 and n_total // chunk > 1:
+            raw = jax.lax.map(
+                lambda p: density_fn(p)[:, 0],
+                warped.reshape(n_total // chunk, chunk, 3),
+            ).reshape(-1)
+        else:
+            raw = density_fn(warped)[:, 0]
 
         grid_tmp = jnp.zeros_like(grid)
         grid_tmp = splat_density(indices, raw, grid_tmp, g)

@@ -80,20 +80,25 @@ def packed_row_offsets(spec: HashGridSpec):
 def build_packed_table(spec: HashGridSpec, table: jnp.ndarray) -> jnp.ndarray:
     """Master [n_entries, 2] -> packed [n_entries/8, 128].
 
-    Row r of level l holds base entries 8r..8r+7; within a base's 16-lane
-    block, lane layout is corner-major: lane = corner*2 + feature.
-    Differentiable (rolls + reshapes only).
+    Row r of level l holds base entries 8r..8r+7 with CORNER-MAJOR lanes:
+    lane = corner*16 + base_within_row*2 + feature.  Differentiable.
+
+    Implementation note: all rolls happen on flat 1-D feature-interleaved
+    views — a [size, 2] array would tile-pad its 2-lane minor dim 64x
+    (docs/DESIGN.md), which both bloats HBM and crawls.
     """
     corner_offs = _corner_offsets(spec)
+    flat = table.reshape(-1)  # feature-interleaved [2 * n_entries]
     parts = []
     for lvl in range(spec.n_levels):
         o, sz = spec.level_offsets[lvl], spec.level_sizes[lvl]
-        sl = jax.lax.dynamic_slice_in_dim(table, o, sz, 0)  # [sz, 2]
+        sl = jax.lax.dynamic_slice_in_dim(flat, 2 * o, 2 * sz, 0)  # [2sz]
+        # Corner c's row block: entries shifted by its additive offset.
         rolled = [
-            jnp.roll(sl, -int(corner_offs[lvl, c]), axis=0) for c in range(8)
+            jnp.roll(sl, -2 * int(corner_offs[lvl, c])).reshape(sz // 8, 16)
+            for c in range(8)
         ]
-        neigh = jnp.concatenate(rolled, axis=1)  # [sz, 16] corner-major
-        parts.append(neigh.reshape(sz // 8, 128))
+        parts.append(jnp.concatenate(rolled, axis=1))  # [sz/8, 128]
     return jnp.concatenate(parts, axis=0)
 
 
@@ -145,14 +150,23 @@ def hash_encode_rows(spec: HashGridSpec, table: jnp.ndarray, pos: jnp.ndarray,
     sub = (e0 & 7).reshape(-1)  # [N*L]
 
     rows = jnp.take(packed, rows_idx.reshape(-1), axis=0)  # [N*L, 128]
-    # Select the 16-lane block of each sample's base entry, then blend the
-    # 8 corners.  All elementwise/reduce -> fuses into the gather consumer.
-    block_of_lane = jnp.arange(128, dtype=jnp.int32)[None, :] >> 4  # [1,128]
-    mask = (block_of_lane == sub[:, None]).astype(rows.dtype)
-    sel = (rows * mask).reshape(n * L, 8, 16).sum(axis=1)  # [N*L, 16]
-    sel = sel.reshape(n, L, 8, 2)
+    # Corner-major lanes: lane = c*16 + b*2 + f.  Select each sample's base
+    # entry b == sub within every corner block, weight by the trilinear
+    # corner weights, and reduce — one fused elementwise+reduce pass over
+    # the gathered rows.
+    lane = jnp.arange(128, dtype=jnp.int32)
+    b_of_lane = (lane >> 1) & 7  # [128]
+    c_of_lane = lane >> 4
+    sel_mask = (b_of_lane[None, :] == sub[:, None]).astype(rows.dtype)
+    w_flat = w.reshape(n * L, 8)
     if compute_dtype is not None:
-        sel = sel.astype(compute_dtype)
-        w = w.astype(compute_dtype)
-    feat = jnp.einsum("nlcf,nlc->nlf", sel, w)  # [N, L, 2]
-    return jnp.concatenate([feat[..., 0], feat[..., 1]], axis=-1)
+        rows = rows.astype(compute_dtype)
+        sel_mask = sel_mask.astype(compute_dtype)
+        w_flat = w_flat.astype(compute_dtype)
+    w_lane = jnp.take(w_flat, c_of_lane, axis=1)  # [N*L, 128]
+    weighted = rows * sel_mask * w_lane
+    # Sum over corners and bases: even lanes -> feature 0, odd -> feature 1.
+    feat0 = weighted[:, 0::2].sum(axis=1)
+    feat1 = weighted[:, 1::2].sum(axis=1)
+    f = jnp.stack([feat0, feat1], axis=-1).reshape(n, L, 2)
+    return jnp.concatenate([f[..., 0], f[..., 1]], axis=-1)

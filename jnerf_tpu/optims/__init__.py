@@ -86,3 +86,4 @@ class EMA:
         return new_params, {"shadow": new_params, "steps": steps}
 
 from .linearlog import LinearLog  # noqa: F401
+from .svox2_optim import PlenOptim  # noqa: F401

@@ -102,30 +102,40 @@ class Runner:
         self.mesh = None
 
     # ------------------------------------------------------------- jit build
+    def _train_data(self):
+        """Device-resident dataset arrays passed as jit ARGUMENTS — large
+        arrays captured as closure constants get embedded in the HLO (and,
+        on remote-compile backends, shipped with every compilation)."""
+        ds = self.dataset["train"]
+        return {
+            "image_data": ds.image_data,
+            "transforms": ds.transforms_gpu,
+            "focal": ds.focal_lengths,
+            "pp": ds.principal_points,
+        }
+
     def _build_train_step(self, n_rays: int, n_samples: int):
         model, sampler, loss_obj = self.model, self.sampler, self.loss_func
         dataset = self.dataset["train"]
+        n_pixels = dataset.n_images * dataset.H * dataset.W
+        W, H = dataset.W, dataset.H
         tx, ema = self.tx, self.ema
         g = sampler.grid_config
 
         mesh = self.mesh
 
-        def step_fn(params, opt_state, ema_state, grid_state, key):
+        def step_fn(params, opt_state, ema_state, grid_state, data, key):
             from jnerf_tpu.parallel import shard_rays
 
             k_pix, k_march, k_bg = jax.random.split(key, 3)
-            idx = jax.random.randint(
-                k_pix, (n_rays,), 0,
-                dataset.n_images * dataset.H * dataset.W,
-            )
+            idx = jax.random.randint(k_pix, (n_rays,), 0, n_pixels)
             idx = shard_rays(idx, mesh)
             from jnerf_tpu.dataset.dataset import rays_from_pixels
 
             _img_ids, rays_o, rays_d = rays_from_pixels(
-                idx, dataset.transforms_gpu, dataset.focal_lengths,
-                dataset.principal_points, dataset.W, dataset.H,
+                idx, data["transforms"], data["focal"], data["pp"], W, H,
             )
-            rgba = dataset.image_data[idx]
+            rgba = data["image_data"][idx]
             bg = jax.random.uniform(k_bg, (n_rays, 3))
             target = rgba[:, :3] * rgba[:, 3:] + bg * (1.0 - rgba[:, 3:])
 
@@ -167,7 +177,8 @@ class Runner:
             self._train_step_cache[shape] = self._build_train_step(*shape)
         (self.params, self.opt_state, self.ema_state, self.sampler.state,
          loss) = self._train_step_cache[shape](
-            self.params, self.opt_state, self.ema_state, self.sampler.state, key
+            self.params, self.opt_state, self.ema_state, self.sampler.state,
+            self._train_data(), key
         )
         return loss
 
