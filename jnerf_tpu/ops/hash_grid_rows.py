@@ -135,38 +135,100 @@ def base_indices_weights(spec: HashGridSpec, pos: jnp.ndarray):
     return e0.astype(jnp.int32), jnp.stack(w, axis=-1)
 
 
-def hash_encode_rows(spec: HashGridSpec, table: jnp.ndarray, pos: jnp.ndarray,
-                     compute_dtype=None, packed=None):
-    """[N, 3] -> [N, 2L] feature-major; one row-gather per (sample, level)."""
-    pos = jax.lax.stop_gradient(pos)
+def _lane_factors(spec: HashGridSpec, pos):
+    """Shared fwd/bwd index math: per-(sample,level) packed row index and
+    the [N*L, 128] per-lane selection-x-weight factor.  Pure VPU math —
+    recomputed in the backward instead of saving multi-GB residuals."""
     n = pos.shape[0]
     L = spec.n_levels
-    if packed is None:
-        packed = build_packed_table(spec, table)
     row_offs = jnp.asarray(packed_row_offsets(spec)[:-1], jnp.int32)
-
     e0, w = base_indices_weights(spec, pos)  # [N, L], [N, L, 8]
-    rows_idx = row_offs[None, :] + (e0 >> 3)  # [N, L]
+    rows_idx = (row_offs[None, :] + (e0 >> 3)).reshape(-1)  # [N*L]
     sub = (e0 & 7).reshape(-1)  # [N*L]
 
-    rows = jnp.take(packed, rows_idx.reshape(-1), axis=0)  # [N*L, 128]
-    # Corner-major lanes: lane = c*16 + b*2 + f.  Select each sample's base
-    # entry b == sub within every corner block, weight by the trilinear
-    # corner weights, and reduce — one fused elementwise+reduce pass over
-    # the gathered rows.
     lane = jnp.arange(128, dtype=jnp.int32)
-    b_of_lane = (lane >> 1) & 7  # [128]
+    b_of_lane = (lane >> 1) & 7
     c_of_lane = lane >> 4
-    sel_mask = (b_of_lane[None, :] == sub[:, None]).astype(rows.dtype)
-    w_flat = w.reshape(n * L, 8)
-    if compute_dtype is not None:
-        rows = rows.astype(compute_dtype)
-        sel_mask = sel_mask.astype(compute_dtype)
-        w_flat = w_flat.astype(compute_dtype)
-    w_lane = jnp.take(w_flat, c_of_lane, axis=1)  # [N*L, 128]
-    weighted = rows * sel_mask * w_lane
-    # Sum over corners and bases: even lanes -> feature 0, odd -> feature 1.
+    sel = (b_of_lane[None, :] == sub[:, None]).astype(jnp.float32)
+    w_lane = jnp.take(w.reshape(n * L, 8), c_of_lane, axis=1)  # [N*L, 128]
+    return rows_idx, sel * w_lane
+
+
+def _reduce_features(spec: HashGridSpec, weighted, n):
+    """[N*L, 128] weighted lanes -> [N, 2L] feature-major output."""
+    L = spec.n_levels
     feat0 = weighted[:, 0::2].sum(axis=1)
     feat1 = weighted[:, 1::2].sum(axis=1)
     f = jnp.stack([feat0, feat1], axis=-1).reshape(n, L, 2)
     return jnp.concatenate([f[..., 0], f[..., 1]], axis=-1)
+
+
+def unpack_packed_grad(spec: HashGridSpec, packed_grad):
+    """Adjoint of build_packed_table: [rows, 128] -> [n_entries, 2]."""
+    corner_offs = _corner_offsets(spec)
+    row_offs = packed_row_offsets(spec)
+    parts = []
+    for lvl in range(spec.n_levels):
+        sz = spec.level_sizes[lvl]
+        pg = packed_grad[row_offs[lvl] : row_offs[lvl + 1]]  # [sz/8, 128]
+        acc = 0.0
+        for c in range(8):
+            block = pg[:, c * 16 : (c + 1) * 16].reshape(2 * sz)
+            acc = acc + jnp.roll(block, 2 * int(corner_offs[lvl, c]))
+        parts.append(acc)
+    return jnp.concatenate(parts).reshape(-1, 2)
+
+
+from functools import partial
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _encode_rows_core(spec, table, pos):
+    packed = build_packed_table(spec, table)
+    rows_idx, factor = _lane_factors(spec, pos)
+    rows = jnp.take(packed, rows_idx, axis=0)  # [N*L, 128]
+    return _reduce_features(spec, rows * factor, pos.shape[0])
+
+
+def _encode_rows_fwd(spec, table, pos):
+    return _encode_rows_core(spec, table, pos), pos
+
+
+def _encode_rows_bwd(spec, res, g):
+    pos = res
+    n = pos.shape[0]
+    L = spec.n_levels
+    rows_idx, factor = _lane_factors(spec, pos)
+    # g is [N, 2L] feature-major; lane f of every (c, b) block takes
+    # g[:, l + f*L].
+    g_pair = jnp.stack([g[:, :L], g[:, L:]], axis=-1).reshape(n * L, 2)
+    lane_f = (jnp.arange(128, dtype=jnp.int32) & 1)
+    g_lane = jnp.take(g_pair, lane_f, axis=1)  # [N*L, 128]
+    vals = factor * g_lane
+    n_rows = packed_row_offsets(spec)[-1]
+    packed_grad = jnp.zeros((n_rows, 128), vals.dtype).at[rows_idx].add(vals)
+    return unpack_packed_grad(spec, packed_grad), None
+
+
+_encode_rows_core.defvjp(_encode_rows_fwd, _encode_rows_bwd)
+
+
+def hash_encode_rows(spec: HashGridSpec, table: jnp.ndarray, pos: jnp.ndarray,
+                     compute_dtype=None, packed=None):
+    """[N, 3] -> [N, 2L] feature-major; one row-gather per (sample, level).
+
+    Differentiable in ``table`` via a hand-written VJP that recomputes the
+    index math and issues a single row scatter-add (no multi-GB residual
+    buffers).  When ``packed`` is supplied (no-grad density sweeps) the
+    gather runs against it directly.
+    """
+    pos = jax.lax.stop_gradient(pos)
+    if packed is not None:
+        rows_idx, factor = _lane_factors(spec, pos)
+        rows = jnp.take(packed, rows_idx, axis=0)
+        out = _reduce_features(spec, rows * factor, pos.shape[0])
+    else:
+        out = _encode_rows_core(spec, table, pos)
+    if compute_dtype is not None:
+        out = out.astype(compute_dtype)
+    return out

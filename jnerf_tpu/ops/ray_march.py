@@ -60,7 +60,7 @@ class MarchConfig:
         if self.probe_stride == 0:
             if self.const_dt:
                 voxel = self.grid.aabb_diag / self.grid.grid_size
-                stride = max(1, int(voxel / self.dt_const * 0.75))
+                stride = max(1, int(round(voxel / self.dt_const)))
                 stride = 1 << (stride.bit_length() - 1)  # pow2 for reshapes
             else:
                 stride = 1  # cone-angle steps already track voxel scale
@@ -214,38 +214,50 @@ def sample_rays(
     py = oy[:, None] + t * dy[:, None]
     pz = oz[:, None] + t * dz[:, None]
 
-    def _in(p):
-        return (p >= g.aabb_min) & (p <= g.aabb_max)
-
-    inside = _in(px) & _in(py) & _in(pz) & (t <= tmax[:, None])
-
     # Strided occupancy probing (see MarchConfig.probe_stride): one bitfield
-    # lookup per segment of `stride` candidates, probed at segment center.
+    # lookup per segment of `stride` candidates, probed at segment center;
+    # inside-ness is also evaluated per segment so segments are strictly
+    # all-or-none, letting the first-S selection run at probe granularity
+    # (stride^2-fold cheaper cumsum + searchsorted).
     stride = cfg.probe_stride
-    if stride > 1:
-        r, k = t.shape
+    if stride > 1 and n_samples % stride == 0:
         tp = 0.5 * (t[:, ::stride] + t[:, stride - 1 :: stride])  # [R, K/s]
         qx = ox[:, None] + tp * dx[:, None]
         qy = oy[:, None] + tp * dy[:, None]
         qz = oz[:, None] + tp * dz[:, None]
         dtp = dt[:, ::stride]
+
+        def _inp(p):
+            return (p >= g.aabb_min) & (p <= g.aabb_max)
+
+        inside_p = _inp(qx) & _inp(qy) & _inp(qz) & (tp <= tmax[:, None])
         mip = mip_from_dt_xyz(dtp, qx, qy, qz, g)
-        occ_probe = occupancy_at_xyz(bitfield, qx, qy, qz, mip, g)
-        occ = inside & jnp.repeat(occ_probe, stride, axis=1)
+        occ_p = inside_p & occupancy_at_xyz(bitfield, qx, qy, qz, mip, g)
+
+        sp = n_samples // stride
+        pidx, pcount = _first_s_indices(occ_p, sp)  # [R, S/s], [R]
+        within = jnp.arange(stride, dtype=jnp.int32)[None, None, :]
+        idx = (pidx[:, :, None] * stride + within).reshape(-1, n_samples)
+        count = pcount * stride
     else:
+        def _in(p):
+            return (p >= g.aabb_min) & (p <= g.aabb_max)
+
+        inside = _in(px) & _in(py) & _in(pz) & (t <= tmax[:, None])
         mip = mip_from_dt_xyz(dt, px, py, pz, g)
         occ = inside & occupancy_at_xyz(bitfield, px, py, pz, mip, g)
+        idx, count = _first_s_indices(occ, n_samples)  # [R, S], [R]
 
-    idx, count = _first_s_indices(occ, n_samples)  # [R, S], [R]
     t_sel = jnp.take_along_axis(t, idx, axis=1)
     dt_sel = jnp.take_along_axis(dt, idx, axis=1)
     s_range = jnp.arange(n_samples, dtype=jnp.int32)[None, :]
     valid = s_range < count[:, None]
 
-    # warp_position = aabb.relative_pos (`ray_sampler_header.h:852-858`).
+    # warp_position = aabb.relative_pos (`ray_sampler_header.h:852-858`);
+    # clip guards boundary samples from segment-granularity probing.
     def _warp(o, d):
         w = (o[:, None] + t_sel * d[:, None] - g.aabb_min) / g.aabb_diag
-        return jnp.where(valid, w, 0.5)
+        return jnp.where(valid, jnp.clip(w, 0.0, 1.0), 0.5)
 
     pos_warp = jnp.stack([_warp(ox, dx), _warp(oy, dy), _warp(oz, dz)], axis=-1)
     dir_warp = jnp.broadcast_to(
