@@ -52,3 +52,25 @@ def search_ckpt(ckpt_dir: str, prefix: str = "ckpt_", suffix: str = ".pkl"):
         if m and int(m.group(1)) > best_iter:
             best_iter, best = int(m.group(1)), name
     return best
+
+
+def sync(data, reduce_mode="mean", axis_name=None):
+    """Cross-device reduction of a metric value.
+
+    Parity target: `/root/reference/python/jnerf/utils/general.py:29-47` —
+    there it wraps Jittor's (never-exercised) `mpi_all_reduce`.  Here:
+    inside a shard_map/pmap region pass ``axis_name`` to psum/pmean over the
+    mesh; outside one, values are already globally consistent (jit with
+    sharding keeps replicated outputs in sync), so it is the identity.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if isinstance(data, (int, float)):
+        return data
+    data = jnp.asarray(data)
+    if axis_name is not None:
+        if reduce_mode == "mean":
+            return jax.lax.pmean(data, axis_name)
+        return jax.lax.psum(data, axis_name)
+    return data
