@@ -1,0 +1,118 @@
+"""Reference (Jittor/JNeRF) checkpoint interop helpers.
+
+The reference's `params.pkl` (`runner.py:123-131`) stores:
+
+- ``sampler``: the density grid flat in MORTON order per cascade
+  (`ray_sampler_header.h:642-667`) and the occupancy bitfield packed 8
+  cells/byte; our state is dense ``[C, G, G, G]`` in linear (x, y, z) order;
+- ``model``: the hash table as one flat fp16 vector (feature-interleaved —
+  identical to our ``[n_entries, 2]`` flattened) and MLP weights either as
+  plain Linears or as the FMLP's single concatenated-transposed vector
+  (`fully_fused_mlp.py:23-43`).
+
+These converters translate grid/bitfield/hash-table state both ways.  MLP
+weight transfer additionally needs the density-input permutation (our
+encoder emits feature-major [f0 levels..., f1 levels...] vs the reference's
+level-major interleave) — `density_input_permutation` provides it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def expand_bits(v: np.ndarray) -> np.ndarray:
+    v = v.astype(np.uint32)
+    v = (v * np.uint32(0x00010001)) & np.uint32(0xFF0000FF)
+    v = (v * np.uint32(0x00000101)) & np.uint32(0x0F00F00F)
+    v = (v * np.uint32(0x00000011)) & np.uint32(0xC30C30C3)
+    v = (v * np.uint32(0x00000005)) & np.uint32(0x49249249)
+    return v
+
+
+def morton3d(x, y, z):
+    """Interleave 10-bit coords -> 30-bit morton code (`:651-657`)."""
+    return expand_bits(np.asarray(x)) | (expand_bits(np.asarray(y)) << 1) | (
+        expand_bits(np.asarray(z)) << 2
+    )
+
+
+def morton3d_invert(code) -> np.ndarray:
+    x = np.asarray(code).astype(np.uint32) & np.uint32(0x49249249)
+    x = (x | (x >> 2)) & np.uint32(0xC30C30C3)
+    x = (x | (x >> 4)) & np.uint32(0x0F00F00F)
+    x = (x | (x >> 8)) & np.uint32(0xFF0000FF)
+    x = (x | (x >> 16)) & np.uint32(0x0000FFFF)
+    return x
+
+
+def _morton_to_linear_perm(g: int) -> np.ndarray:
+    """perm[morton_idx] = linear idx (x-major: x*g*g + y*g + z)."""
+    codes = np.arange(g ** 3, dtype=np.uint32)
+    x = morton3d_invert(codes)
+    y = morton3d_invert(codes >> np.uint32(1))
+    z = morton3d_invert(codes >> np.uint32(2))
+    return (x.astype(np.int64) * g + y) * g + z
+
+
+def density_grid_from_reference(flat_morton: np.ndarray, n_cascades: int,
+                                g: int = 128) -> np.ndarray:
+    """Reference flat morton [C*G^3] -> our [C, G, G, G] linear grid."""
+    out = np.empty((n_cascades, g, g, g), np.float32)
+    perm = _morton_to_linear_perm(g)
+    for c in range(n_cascades):
+        level = flat_morton[c * g ** 3 : (c + 1) * g ** 3]
+        dest = np.empty(g ** 3, np.float32)
+        dest[perm] = level
+        out[c] = dest.reshape(g, g, g)
+    return out
+
+
+def density_grid_to_reference(grid: np.ndarray) -> np.ndarray:
+    """Our [C, G, G, G] -> reference flat morton [C*G^3]."""
+    c, g = grid.shape[0], grid.shape[1]
+    perm = _morton_to_linear_perm(g)
+    out = np.empty((c, g ** 3), np.float32)
+    for i in range(c):
+        out[i] = grid[i].reshape(-1)[perm]
+    return out.reshape(-1)
+
+
+def bitfield_from_reference(packed: np.ndarray, n_cascades: int,
+                            g: int = 128) -> np.ndarray:
+    """Reference uint8 bitfield (morton bits, 8/byte) -> [C, G, G, G] bool."""
+    bits = np.unpackbits(
+        packed.reshape(-1, 1), axis=1, bitorder="little"
+    ).reshape(-1)
+    return density_grid_from_reference(
+        bits.astype(np.float32), n_cascades, g
+    ) > 0.5
+
+
+def bitfield_to_reference(bitfield: np.ndarray) -> np.ndarray:
+    flat = density_grid_to_reference(bitfield.astype(np.float32)) > 0.5
+    return np.packbits(flat.astype(np.uint8), bitorder="little")
+
+
+def hash_table_from_reference(m_grid: np.ndarray) -> np.ndarray:
+    """Reference flat fp16 [n_params] -> our [n_entries, 2] fp32 (layouts
+    coincide: entry-major, features interleaved; `HashEncode.h:grid_index`
+    returns index*F + feature)."""
+    return np.asarray(m_grid, np.float32).reshape(-1, 2)
+
+
+def hash_table_to_reference(table: np.ndarray) -> np.ndarray:
+    return np.asarray(table, np.float16).reshape(-1)
+
+
+def density_input_permutation(n_levels: int = 16) -> np.ndarray:
+    """Row permutation for the density MLP's first weight matrix.
+
+    Our encoder output column order is [f0_l0..f0_lL, f1_l0..f1_lL]; the
+    reference's is [l0_f0, l0_f1, l1_f0, ...].  W_ours = W_ref[perm, :].
+    """
+    perm = np.empty(2 * n_levels, np.int64)
+    for lvl in range(n_levels):
+        perm[lvl] = 2 * lvl  # our f0 column takes ref's (lvl, f0) row
+        perm[n_levels + lvl] = 2 * lvl + 1
+    return perm
