@@ -85,7 +85,11 @@ class DensityGridSampler:
             cone_angle=0.0 if self.const_dt else float(cfg.cone_angle_constant),
             const_dt=self.const_dt,
         )
-        self.max_samples_per_ray = min(1024, self.march_config.n_candidates)
+        # Cap training samples/ray at 256: every (rays, samples) shape is a
+        # multi-minute XLA compile on TPU, and the early-training demand
+        # spike (fully-occupied grid wants ~1024/ray) resolves itself once
+        # the grid prunes; truncation is handled by the bg compositing.
+        self.max_samples_per_ray = min(256, self.march_config.n_candidates)
         self.n_samples_per_ray = self._samples_for_rays(self.n_rays_per_batch)
         self.inference_samples_per_ray = min(256, self.march_config.n_candidates)
 
