@@ -77,11 +77,22 @@ def _build_tet_cases():
 _TET_CASES = _build_tet_cases()
 
 
-def marching_tetrahedra(field: np.ndarray, threshold: float = 0.0):
+def marching_tetrahedra(field: np.ndarray, threshold: float = 0.0,
+                        use_native: bool = True):
     """Extract the iso-surface ``field == threshold`` from an [X, Y, Z] grid.
 
     Returns (vertices [V, 3] in grid-index coordinates, triangles [T, 3]).
+    Dispatches to the C++ core (jnerf_tpu.native) when available — the
+    vectorized-numpy fallback materializes per-cell corner tables and is
+    only suitable for small grids.
     """
+    if use_native:
+        from jnerf_tpu import native
+
+        if native.available():
+            return native.marching_tets_native(
+                np.asarray(field, np.float32), threshold
+            )
     field = np.asarray(field, np.float32)
     nx, ny, nz = field.shape
     cx, cy, cz = nx - 1, ny - 1, nz - 1
