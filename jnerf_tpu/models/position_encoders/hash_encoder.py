@@ -58,9 +58,9 @@ class HashEncoder:
     def build_packed(self, params):
         """Precompute the packed neighborhood table (row path); callers in
         multi-invocation loops pass it back via __call__ to share the work."""
-        from jnerf_tpu.ops.hash_grid_rows import build_packed_table
+        from jnerf_tpu.ops.hash_grid_rows import GATHER_DTYPE, build_packed_table
 
-        return build_packed_table(self.spec, params["grid"])
+        return build_packed_table(self.spec, params["grid"].astype(GATHER_DTYPE))
 
     def __call__(self, params, x, packed=None):
         if self.indexing == "linear_rows":

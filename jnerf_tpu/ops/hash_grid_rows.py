@@ -182,11 +182,17 @@ def unpack_packed_grad(spec: HashGridSpec, packed_grad):
 from functools import partial
 
 
+# Gather/scatter the packed table in bf16: random access is row-count-bound
+# but the 2 GB/step of gathered bytes still rides HBM; halving it is free
+# precision-wise (the reference's table/grads are fp16).
+GATHER_DTYPE = jnp.bfloat16
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _encode_rows_core(spec, table, pos):
-    packed = build_packed_table(spec, table)
+    packed = build_packed_table(spec, table.astype(GATHER_DTYPE))
     rows_idx, factor = _lane_factors(spec, pos)
-    rows = jnp.take(packed, rows_idx, axis=0)  # [N*L, 128]
+    rows = jnp.take(packed, rows_idx, axis=0).astype(jnp.float32)  # [N*L,128]
     return _reduce_features(spec, rows * factor, pos.shape[0])
 
 
@@ -204,10 +210,10 @@ def _encode_rows_bwd(spec, res, g):
     g_pair = jnp.stack([g[:, :L], g[:, L:]], axis=-1).reshape(n * L, 2)
     lane_f = (jnp.arange(128, dtype=jnp.int32) & 1)
     g_lane = jnp.take(g_pair, lane_f, axis=1)  # [N*L, 128]
-    vals = factor * g_lane
+    vals = (factor * g_lane).astype(GATHER_DTYPE)
     n_rows = packed_row_offsets(spec)[-1]
-    packed_grad = jnp.zeros((n_rows, 128), vals.dtype).at[rows_idx].add(vals)
-    return unpack_packed_grad(spec, packed_grad), None
+    packed_grad = jnp.zeros((n_rows, 128), GATHER_DTYPE).at[rows_idx].add(vals)
+    return unpack_packed_grad(spec, packed_grad.astype(jnp.float32)), None
 
 
 _encode_rows_core.defvjp(_encode_rows_fwd, _encode_rows_bwd)

@@ -61,8 +61,9 @@ class TestRowEncode:
         pos = jax.random.uniform(jax.random.PRNGKey(2), (64, 3))
         ref = hash_encode(spec, table, pos)
         out = hash_encode_rows(spec, table, pos)
+        # The row path gathers in bf16 (GATHER_DTYPE) - tolerances to match.
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                                   rtol=1e-4, atol=1e-5)
+                                   rtol=2e-2, atol=4e-3)
 
     def test_constant_table_mixed_levels(self):
         spec = mixed_spec()
@@ -70,7 +71,7 @@ class TestRowEncode:
         pos = jax.random.uniform(jax.random.PRNGKey(3), (32, 3))
         out = hash_encode_rows(spec, table, pos)
         assert out.shape == (32, 2 * spec.n_levels)
-        np.testing.assert_allclose(np.asarray(out), 0.125, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out), 0.125, atol=1e-3)
 
     def test_weights_partition_of_unity(self):
         spec = mixed_spec()
@@ -94,13 +95,15 @@ class TestRowEncode:
             lambda t: jnp.sum(hash_encode(spec, t, pos) * cot)
         )(table)
         np.testing.assert_allclose(np.asarray(g_row), np.asarray(g_gen),
-                                   rtol=1e-4, atol=1e-5)
+                                   rtol=2e-2, atol=4e-3)
 
     def test_jit_and_shared_packed(self):
+        from jnerf_tpu.ops.hash_grid_rows import GATHER_DTYPE
+
         spec = mixed_spec()
         table = jax.random.normal(jax.random.PRNGKey(7), (spec.n_entries, 2))
         pos = jax.random.uniform(jax.random.PRNGKey(8), (32, 3))
-        packed = build_packed_table(spec, table)
+        packed = build_packed_table(spec, table.astype(GATHER_DTYPE))
         out1 = jax.jit(
             lambda t, p: hash_encode_rows(spec, t, p)
         )(table, pos)
