@@ -171,14 +171,37 @@ class Runner:
 
         return jax.jit(step_fn, donate_argnums=(0, 1, 2, 3))
 
+    @staticmethod
+    def _retry_transient(fn, *args, attempts=3):
+        """Retry through transient backend failures (e.g. the remote-compile
+        relay dropping a response mid-body); real errors re-raise."""
+        import time
+
+        for i in range(attempts):
+            try:
+                return fn(*args)
+            except Exception as e:  # jax.errors.JaxRuntimeError and kin
+                msg = str(e)
+                transient = any(
+                    s in msg
+                    for s in ("remote_compile", "Broken pipe",
+                              "response body closed", "UNAVAILABLE")
+                )
+                if not transient or i == attempts - 1:
+                    raise
+                print(f"[runner] transient backend error, retrying "
+                      f"({i + 1}/{attempts}): {msg.splitlines()[0][:120]}")
+                time.sleep(5.0 * (i + 1))
+
     def _train_step(self, key):
         shape = (self.sampler.n_rays_per_batch, self.sampler.n_samples_per_ray)
         if shape not in self._train_step_cache:
             self._train_step_cache[shape] = self._build_train_step(*shape)
         (self.params, self.opt_state, self.ema_state, self.sampler.state,
-         loss) = self._train_step_cache[shape](
+         loss) = self._retry_transient(
+            self._train_step_cache[shape],
             self.params, self.opt_state, self.ema_state, self.sampler.state,
-            self._train_data(), key
+            self._train_data(), key,
         )
         return loss
 
@@ -192,8 +215,8 @@ class Runner:
                 ),
                 donate_argnums=(1,),
             )
-        self.sampler.state = self._grid_update_cache[sig](
-            self.params, self.sampler.state, key
+        self.sampler.state = self._retry_transient(
+            self._grid_update_cache[sig], self.params, self.sampler.state, key
         )
 
     # ------------------------------------------------------------------ train
