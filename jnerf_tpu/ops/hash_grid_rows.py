@@ -210,10 +210,16 @@ def _encode_rows_bwd(spec, res, g):
     g_pair = jnp.stack([g[:, :L], g[:, L:]], axis=-1).reshape(n * L, 2)
     lane_f = (jnp.arange(128, dtype=jnp.int32) & 1)
     g_lane = jnp.take(g_pair, lane_f, axis=1)  # [N*L, 128]
-    vals = (factor * g_lane).astype(GATHER_DTYPE)
+    # Accumulate in fp32: XLA row scatter-add is random-access-count-bound,
+    # so fp32 costs the same as bf16 (tools/probe_final.py) — and bf16's
+    # 8-bit mantissa drops small contributions once a hot row's sum grows
+    # (the reference accumulates fp16 WITH a 128x loss scale,
+    # `fully_fused_mlp.py`; fp32 needs no scale).  bf16 stays for the
+    # forward gather (GATHER_DTYPE), where it only quantizes table reads.
+    vals = factor * g_lane
     n_rows = packed_row_offsets(spec)[-1]
-    packed_grad = jnp.zeros((n_rows, 128), GATHER_DTYPE).at[rows_idx].add(vals)
-    return unpack_packed_grad(spec, packed_grad.astype(jnp.float32)), None
+    packed_grad = jnp.zeros((n_rows, 128), jnp.float32).at[rows_idx].add(vals)
+    return unpack_packed_grad(spec, packed_grad), None
 
 
 _encode_rows_core.defvjp(_encode_rows_fwd, _encode_rows_bwd)
