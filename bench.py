@@ -44,10 +44,13 @@ def main():
         W=args.image_size,
         tot_train_steps=args.warmup + args.steps,
     )
+    from jnerf_tpu.utils.metrics import ThroughputMeter
+
     runner = Runner()
     freq = runner.sampler.update_den_freq
+    meter = ThroughputMeter(window=args.steps)
 
-    def run_steps(start, n):
+    def run_steps(start, n, tick=False):
         loss = None
         for i in range(start, start + n):
             runner.cfg.m_training_step = i
@@ -55,6 +58,12 @@ def main():
             if i % freq == 0:
                 runner._update_grid(i, k_grid)
             loss = runner._train_step(k_step)
+            if tick:
+                meter.tick(
+                    n_rays=runner.sampler.n_rays_per_batch,
+                    n_samples=runner.sampler.n_rays_per_batch
+                    * runner.sampler.n_samples_per_ray,
+                )
             if i % freq == freq - 1:
                 runner.sampler.update_batch_rays()
         return loss
@@ -62,12 +71,16 @@ def main():
     # Warmup: compiles + occupancy-grid convergence + batch-shape settling.
     run_steps(0, args.warmup).block_until_ready()
 
+    meter.tick()  # arm the meter's clock at the window start
     t0 = time.perf_counter()
-    run_steps(args.warmup, args.steps).block_until_ready()
+    run_steps(args.warmup, args.steps, tick=True).block_until_ready()
     elapsed = time.perf_counter() - t0
 
     iters_per_s = args.steps / elapsed
-    rays_per_s = iters_per_s * runner.sampler.n_rays_per_batch
+    # meter tracks the (possibly adapting) per-step ray/sample counts; the
+    # wall clock for rates is the blocking window above (dispatch is async).
+    mean_rays = sum(meter.rays) / max(len(meter.rays), 1)
+    rays_per_s = iters_per_s * mean_rays
     result = {
         "metric": "ngp_train_iters_per_s",
         "value": round(iters_per_s, 2),

@@ -34,10 +34,12 @@ class HashEncoder:
         if hash_func is None:
             hash_func = cfg.hash_func or DEFAULT_HASH_FUNC
         if indexing is None:
-            # 'linear_rows' = TPU-fast packed-neighborhood path (per-level
-            # linear hashes, one row-gather per sample-level);
+            # 'linear_rows' = TPU-fast linear-hash path (one row-gather per
+            # sample-level; served by ops/hash_nbr on accelerators and
+            # ops/hash_grid_rows on CPU — see _linear_impl);
+            # 'linear_nbr' / 'linear_rows_xla' = force one implementation;
             # 'xor' = reference-exact hash_func semantics (element gathers,
-            # ~60x slower on TPU; see ops/hash_grid_rows.py).
+            # ~60x slower on TPU; required for reference-ckpt interop).
             indexing = cfg.hash_indexing or "linear_rows"
         assert n_pos_dims == 3, "hash grid is 3-D"
         self.indexing = indexing
@@ -55,18 +57,54 @@ class HashEncoder:
     def init(self, key):
         return {"grid": self.spec.init_table(key)}
 
-    def build_packed(self, params):
-        """Precompute the packed neighborhood table (row path); callers in
-        multi-invocation loops pass it back via __call__ to share the work."""
-        from jnerf_tpu.ops.hash_grid_rows import GATHER_DTYPE, build_packed_table
+    def _linear_impl(self) -> str:
+        """Which linear-hash implementation serves 'linear_rows'.
 
-        return build_packed_table(self.spec, params["grid"].astype(GATHER_DTYPE))
+        'nbr' (ops/hash_nbr: narrow-row gather + Pallas fused backward) on
+        accelerators; 'rows' (ops/hash_grid_rows: pure XLA) on CPU, where the
+        Pallas kernel would run in interpret mode.  Both compute the same
+        encoding (tests/test_hash_nbr.py); 'linear_nbr' / 'linear_rows_xla'
+        force one explicitly.
+        """
+        import jax
+
+        if self.indexing == "linear_nbr":
+            return "nbr"
+        if self.indexing == "linear_rows_xla":
+            return "rows"
+        return "rows" if jax.default_backend() == "cpu" else "nbr"
+
+    def build_packed(self, params):
+        """Precompute the gather table for the active fast path; callers in
+        multi-invocation loops pass it back via __call__ to share the work."""
+        from jnerf_tpu.ops.hash_grid_rows import GATHER_DTYPE
+
+        if self.indexing == "xor":
+            return None
+        table = params["grid"].astype(GATHER_DTYPE)
+        if self._linear_impl() == "nbr":
+            from jnerf_tpu.ops.hash_nbr import build_nbr_table
+
+            return ("nbr", build_nbr_table(self.spec, table))
+        from jnerf_tpu.ops.hash_grid_rows import build_packed_table
+
+        return ("rows", build_packed_table(self.spec, table))
 
     def __call__(self, params, x, packed=None):
-        if self.indexing == "linear_rows":
+        if self.indexing != "xor":
+            kind = None
+            pre = None
+            if packed is not None:
+                kind, pre = packed
+            if (kind or self._linear_impl()) == "nbr":
+                from jnerf_tpu.ops.hash_nbr import hash_encode_nbr
+
+                return hash_encode_nbr(
+                    self.spec, params["grid"], x, self.compute_dtype, nbr=pre
+                )
             from jnerf_tpu.ops.hash_grid_rows import hash_encode_rows
 
             return hash_encode_rows(
-                self.spec, params["grid"], x, self.compute_dtype, packed=packed
+                self.spec, params["grid"], x, self.compute_dtype, packed=pre
             )
         return hash_encode(self.spec, params["grid"], x, self.compute_dtype)

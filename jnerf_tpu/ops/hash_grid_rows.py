@@ -25,7 +25,12 @@ table:
   rolls back onto the master — all at row rate.
 
 The master table layout ([n_entries, 2], same level offsets) is shared with
-the generic path, so checkpoints are interchangeable.
+the generic path — but the INDEX MAPPING is not: hashed levels here use
+per-level linear hashes instead of the reference XOR hash, so a table
+trained under one indexing mode reads scrambled at hashed levels under the
+other.  Checkpoints are only interchangeable between paths at dense levels;
+reference-checkpoint interop requires ``hash_indexing='xor'``
+(see utils/convert_ckpt.hash_table_from_reference).
 """
 
 from __future__ import annotations

@@ -5,13 +5,13 @@ Parity target: `/root/reference/contrib/plenoxel/` — the svox2 CUDA kernels
 sampling, `tv_grad_sparse`) re-expressed TPU-first:
 
 - the int32 ``links`` indirection (GPU memory saving) becomes a dense
-  ``[X, Y, Z, C]`` grid — TPU HBM holds 256^3 x 28 channels comfortably and
-  dense layout enables roll-based neighborhoods;
-- trilinear sampling uses the packed-neighborhood row-gather strategy
-  (see ops/hash_grid_rows.py): each sample fetches its 2x2x2 neighborhood's
-  density in ONE row-gather (density packed 8 cells + 8 corners = 64 lanes
-  padded row) and SH coefficients in TWO row gathers, instead of 8 x 28
-  element gathers;
+  ``[X, Y, Z, C]`` grid — TPU HBM holds 256^3 x 28 channels comfortably;
+- trilinear sampling gathers [C+1]-channel ROWS of a flat [n_cells, C+1]
+  view — 8 row-gathers per sample (one per corner) instead of 8 x 28
+  element gathers.  (A packed 2x2x2-neighborhood layout like
+  ops/hash_grid_rows.py — 1 gather/sample — would cut accesses another 8x
+  at 8x the table memory; not implemented, revisit if svox2 becomes
+  gather-bound at 512^3.);
 - the fused ray renderer is cumulative-product compositing over fixed
   per-ray sample grids (static shapes; sigma-threshold and early-out become
   masks);

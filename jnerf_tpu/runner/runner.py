@@ -223,6 +223,9 @@ class Runner:
     def train(self):
         from tqdm import tqdm
 
+        from jnerf_tpu.utils.metrics import ThroughputMeter
+
+        meter = ThroughputMeter(window=256)
         freq = self.sampler.update_den_freq
         for i in tqdm(range(self.start, self.tot_train_steps)):
             self.cfg.m_training_step = i
@@ -230,12 +233,18 @@ class Runner:
             if i % freq == 0:
                 self._update_grid(i, k_grid)
             loss = self._train_step(k_step)
+            meter.tick(
+                n_rays=self.sampler.n_rays_per_batch,
+                n_samples=self.sampler.n_rays_per_batch
+                * self.sampler.n_samples_per_ray,
+            )
             if i % freq == freq - 1:
                 self.sampler.update_batch_rays()
             if i > 0 and i % self.val_freq == 0:
                 psnr = mse2psnr(self.val_img(i))
                 print(f"STEP={i} | LOSS={float(jax.device_get(loss)):.5f} | "
-                      f"VAL PSNR={float(jax.device_get(psnr)):.3f}")
+                      f"VAL PSNR={float(jax.device_get(psnr)):.3f} | "
+                      f"{meter.summary()}")
         self.save_ckpt(os.path.join(self.save_path, "params.pkl"))
         self.test()
 

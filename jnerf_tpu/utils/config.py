@@ -96,8 +96,19 @@ def _load_with_bases(filename: str) -> dict:
     return cfg
 
 
+_warned_missing_keys = set()
+
+
 class Config(OrderedDict):
-    """An attribute-accessible ordered dict; missing keys read as None."""
+    """An attribute-accessible ordered dict; missing keys read as None.
+
+    The None-for-missing surface mirrors the reference
+    (`/root/reference/python/jnerf/utils/config.py`), which the codebase
+    relies on for optional keys (cfg.fp16, cfg.ema, ...).  To keep typos
+    from silently selecting defaults, a missing-key read that closely
+    matches an EXISTING key warns once (e.g. cfg.hash_indexng with
+    hash_indexing set).
+    """
 
     def __init__(self, *args):
         super().__init__()
@@ -109,6 +120,20 @@ class Config(OrderedDict):
     def __getattr__(self, name):
         if name.startswith("__"):
             raise AttributeError(name)
+        if name not in self and name not in _warned_missing_keys and self:
+            import difflib
+
+            close = difflib.get_close_matches(name, self.keys(), n=1,
+                                              cutoff=0.85)
+            if close:
+                _warned_missing_keys.add(name)
+                import warnings
+
+                warnings.warn(
+                    f"config key {name!r} was never set but {close[0]!r} is "
+                    f"— likely a typo; reading None",
+                    stacklevel=2,
+                )
         return self.get(name, None)
 
     def __setattr__(self, name, value):

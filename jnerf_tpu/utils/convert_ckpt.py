@@ -94,10 +94,29 @@ def bitfield_to_reference(bitfield: np.ndarray) -> np.ndarray:
     return np.packbits(flat.astype(np.uint8), bitorder="little")
 
 
-def hash_table_from_reference(m_grid: np.ndarray) -> np.ndarray:
+def hash_table_from_reference(m_grid: np.ndarray,
+                              hash_indexing: str = "xor") -> np.ndarray:
     """Reference flat fp16 [n_params] -> our [n_entries, 2] fp32 (layouts
     coincide: entry-major, features interleaved; `HashEncode.h:grid_index`
-    returns index*F + feature)."""
+    returns index*F + feature).
+
+    Valid ONLY for encoders running ``hash_indexing='xor'`` (reference-exact
+    semantics).  The TPU-fast ``'linear_rows'`` path replaces the XOR hash
+    with per-level linear hashes, so an imported reference table would be
+    read through a different index mapping at every hashed level — silently
+    scrambled features (dense levels alone survive).  Pass the target
+    encoder's indexing mode so the mismatch is loud.
+    """
+    if hash_indexing != "xor":
+        import warnings
+
+        warnings.warn(
+            "Reference hash-table import requires hash_indexing='xor'; the "
+            f"target encoder uses {hash_indexing!r}, whose per-level linear "
+            "hashes will read the imported table scrambled at hashed levels. "
+            "Set hash_indexing='xor' in the config for checkpoint interop.",
+            stacklevel=2,
+        )
     return np.asarray(m_grid, np.float32).reshape(-1, 2)
 
 

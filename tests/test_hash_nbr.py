@@ -1,0 +1,106 @@
+"""Equivalence of the round-2 neighborhood-row hash path (ops/hash_nbr)
+with the round-1 packed-row path (ops/hash_grid_rows): same linear-hash
+semantics, so outputs AND table-gradients must match."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jnerf_tpu.ops.hash_grid import HashGridSpec
+from jnerf_tpu.ops.hash_grid_rows import hash_encode_rows
+from jnerf_tpu.ops.hash_nbr import (
+    build_nbr_table,
+    hash_encode_nbr,
+    unpack_nbr_grad,
+)
+
+
+@pytest.fixture()
+def spec():
+    return HashGridSpec(n_levels=4, base_resolution=4, log2_hashmap_size=10,
+                        desired_resolution=64.0)
+
+
+@pytest.fixture()
+def table(spec):
+    return jax.random.normal(jax.random.PRNGKey(0), (spec.n_entries, 2),
+                             jnp.float32) * 0.1
+
+
+@pytest.fixture()
+def pos():
+    return jax.random.uniform(jax.random.PRNGKey(1), (512, 3), jnp.float32)
+
+
+def test_build_unpack_adjoint(spec, table):
+    """<build(t), y> == <t, unpack(y)> — the roll pair is a true adjoint."""
+    y = jax.random.normal(jax.random.PRNGKey(2), (spec.n_entries, 16),
+                          jnp.float32)
+    lhs = jnp.vdot(build_nbr_table(spec, table), y)
+    rhs = jnp.vdot(table, unpack_nbr_grad(spec, y))
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-5)
+
+
+def test_forward_matches_rows_path(spec, table, pos):
+    out_nbr = hash_encode_nbr(spec, table, pos)
+    out_rows = hash_encode_rows(spec, table, pos)
+    np.testing.assert_allclose(
+        np.asarray(out_nbr), np.asarray(out_rows), rtol=2e-2, atol=2e-3
+    )  # both quantize the gather to bf16; blend order differs
+
+
+def test_grad_matches_rows_path(spec, table, pos):
+    def loss_nbr(t):
+        return jnp.sum(jnp.sin(hash_encode_nbr(spec, t, pos)))
+
+    def loss_rows(t):
+        return jnp.sum(jnp.sin(hash_encode_rows(spec, t, pos)))
+
+    g_nbr = jax.grad(loss_nbr)(table)
+    g_rows = jax.grad(loss_rows)(table)
+    np.testing.assert_allclose(
+        np.asarray(g_nbr), np.asarray(g_rows), rtol=5e-2, atol=5e-3
+    )
+
+
+def test_grad_matches_autodiff_of_forward(spec, table, pos):
+    """The hand-written Pallas backward equals autodiff of the pure-XLA
+    forward computed in f32 (tolerances cover the bf16 forward gather)."""
+    from jnerf_tpu.ops.hash_nbr import _encode_from_nbr
+
+    def loss_ref(t):
+        nbr = build_nbr_table(spec, t)  # f32, differentiable rolls
+        return jnp.sum(jnp.sin(_encode_from_nbr(spec, nbr, pos)))
+
+    def loss_fast(t):
+        return jnp.sum(jnp.sin(hash_encode_nbr(spec, t, pos)))
+
+    g_ref = jax.grad(loss_ref)(table)
+    g_fast = jax.grad(loss_fast)(table)
+    np.testing.assert_allclose(
+        np.asarray(g_fast), np.asarray(g_ref), rtol=5e-2, atol=5e-3
+    )
+
+
+def test_jit_under_grad(spec, table, pos):
+    @jax.jit
+    def step(t):
+        return jax.grad(
+            lambda t: jnp.mean(hash_encode_nbr(spec, t, pos) ** 2)
+        )(t)
+
+    g = step(table)
+    assert g.shape == table.shape
+    assert bool(jnp.isfinite(g).all())
+    assert float(jnp.abs(g).max()) > 0
+
+
+def test_prebuilt_nbr_matches(spec, table, pos):
+    from jnerf_tpu.ops.hash_grid_rows import GATHER_DTYPE
+
+    nbr = build_nbr_table(spec, table.astype(GATHER_DTYPE))
+    out1 = hash_encode_nbr(spec, table, pos)
+    out2 = hash_encode_nbr(spec, table, pos, nbr=nbr)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                               rtol=1e-5, atol=1e-6)

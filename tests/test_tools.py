@@ -139,3 +139,29 @@ def test_run_net_help():
     assert out.returncode == 0
     for flag in ("--config-file", "--task", "--type", "--mcube_threshold"):
         assert flag in out.stdout
+
+
+def test_run_net_runner_dispatch(fresh_cfg):
+    """Every project family is reachable from the single CLI entry point
+    (the reference forks run_net.py per contrib; VERDICT r1 #7)."""
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    from run_net import select_runner_name
+    from jnerf_tpu.utils.config import get_cfg, init_cfg
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    expected = {
+        "projects/ngp/configs/ngp_base.py": "Runner",
+        "projects/nerf/configs/nerf_base.py": "Runner",
+        "projects/mipnerf/configs/mip_base.py": "MipRunner",
+        "projects/svox2/configs/svox2_base.py": "Svox2Runner",
+    }
+    for rel, want in expected.items():
+        get_cfg().clear()
+        init_cfg(os.path.join(here, rel))
+        assert select_runner_name(get_cfg(), "novel_view") == want, rel
+    get_cfg().clear()
+    assert select_runner_name(get_cfg(), "mesh") == "NeuSRunner"
+    # explicit config key beats inference
+    get_cfg().runner = "MipRunner"
+    assert select_runner_name(get_cfg(), "novel_view") == "MipRunner"

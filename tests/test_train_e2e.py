@@ -68,6 +68,7 @@ def runner(tmp_path, synthetic_scene, fresh_cfg):
     return r
 
 
+@pytest.mark.slow
 def test_ngp_trains_and_renders(runner):
     from jnerf_tpu.models.losses import img2mse, mse2psnr
 

@@ -1,6 +1,12 @@
 """Consistent scan-chained microbenches for the hash-path design decision.
-All timings: REPS data-dependent iterations inside ONE jit, scalar fetch.
-(Per-call dispatch through the axon relay costs ~60ms — never time per-call.)
+
+Methodology (both matter on this backend):
+- time REPS data-dependent iterations inside ONE jit + scalar fetch
+  (per-call dispatch through the axon relay costs ~60 ms);
+- pass every large array as a jit ARGUMENT — closed-over device arrays
+  become HLO constants and get shipped to the remote compiler (multi-GB
+  requests hang or 413).
+
 Usage: python tools/probe_final.py 1 2 3 4 5
 """
 
@@ -16,20 +22,20 @@ N = 1 << 22          # 4.2M (sample,level) rows per step at NGP scale
 TBIG = 1 << 20       # concatenated packed-row count (~6 hits/row)
 
 
-def chained(name, body, x, items, reps=8, extra_args=()):
+def chained(name, body, carry, items, reps=4, args=()):
     @jax.jit
-    def run(x, *extra):
+    def run(c, *a):
         def f(c, _):
-            return body(c, *extra), None
-        out, _ = jax.lax.scan(f, x, None, length=reps)
+            return body(c, *a), None
+        out, _ = jax.lax.scan(f, c, None, length=reps)
         return jnp.sum(out.astype(jnp.float32))
 
     try:
-        _ = float(run(x, *extra_args))
+        _ = float(run(carry, *args))
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()
-            _ = float(run(x, *extra_args))
+            _ = float(run(carry, *args))
             ts.append(time.perf_counter() - t0)
         t = min(ts) / reps
         print(f"{name}: {t*1e3:.3f} ms -> {t/items*1e9:.2f} ns/item", flush=True)
@@ -43,12 +49,12 @@ def sec_xla_scatter(dtype, label):
     idx = jax.random.randint(key, (N,), 0, TBIG, jnp.int32)
     vals = jnp.ones((N, 128), dtype)
 
-    def sc(c, vals):
+    def sc(c, idx, vals):
         i = (idx + c[0, 0].astype(jnp.int32)) % TBIG
         return jnp.zeros((TBIG, 128), dtype).at[i].add(vals)[:1].astype(jnp.float32)
 
     chained(f"XLA scatter {label} [4M]->[1M,128]", sc,
-            jnp.zeros((1, 128), jnp.float32), N, reps=4, extra_args=(vals,))
+            jnp.zeros((1, 128), jnp.float32), N, args=(idx, vals))
 
 
 def sec_pallas_scatter():
@@ -85,12 +91,12 @@ def sec_pallas_scatter():
     idxl = jax.random.randint(key, (NL,), 0, TL, jnp.int32)
     vl = jnp.ones((NL, 128), jnp.float32)
 
-    def sc_pl(c, vals):
+    def sc_pl(c, idxl, vals):
         i = ((idxl + c[0, 0].astype(jnp.int32)) % TL).reshape(1, NL)
         return scat(i, vals)[:1]
 
     chained("pallas RMW scatter [1M]->[16K,128]", sc_pl,
-            jnp.zeros((1, 128), jnp.float32), NL, reps=4, extra_args=(vl,))
+            jnp.zeros((1, 128), jnp.float32), NL, args=(idxl, vl))
 
 
 def sec_fwd(variant):
@@ -101,41 +107,39 @@ def sec_fwd(variant):
     w = jax.random.uniform(key, (N, 8), jnp.float32)
 
     if variant == "reshape":
-        selb = jax.nn.one_hot(b, 8, dtype=jnp.float32)
-
-        def fwd(c):
+        def fwd(c, tbl, rows, b, w):
+            selb = jax.nn.one_hot(b, 8, dtype=jnp.float32)
             r = (rows + c[0].astype(jnp.int32)) % T19
             g = jnp.take(tbl, r, axis=0).astype(jnp.float32).reshape(N, 8, 8, 2)
-            return (g * w[:, :, None, None] * selb[:, None, :, None]).sum(axis=(1, 2))[:, 0]
+            return (g * w[:, :, None, None] * selb[:, None, :, None]).sum(
+                axis=(1, 2))[:, 0]
 
         chained("XLA fused fwd (reshape blend)", fwd,
-                jnp.zeros((N,), jnp.float32), N, reps=4)
+                jnp.zeros((N,), jnp.float32), N, args=(tbl, rows, b, w))
     else:
-        lane = jnp.arange(128, dtype=jnp.int32)
-        wl_idx = jnp.broadcast_to((lane >> 4)[None, :], (N, 128))
-        f0mask = ((lane & 1) == 0)[None, :]
-
-        def fwd(c):
+        def fwd(c, tbl, rows, b, w):
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
             r = (rows + c[0].astype(jnp.int32)) % T19
             g = jnp.take(tbl, r, axis=0)
-            sel = ((lane >> 1) & 7)[None, :] == b[:, None]
-            wl = jnp.take_along_axis(w, wl_idx, axis=1)
+            sel = ((lane >> 1) & 7) == b[:, None]
+            wl = jnp.take_along_axis(
+                w, jnp.broadcast_to(lane >> 4, (N, 128)), axis=1)
             weighted = jnp.where(sel, g.astype(jnp.float32) * wl, 0.0)
-            return jnp.where(f0mask, weighted, 0.0).sum(axis=1)
+            return jnp.where((lane & 1) == 0, weighted, 0.0).sum(axis=1)
 
         chained("XLA fused fwd (mask blend)", fwd,
-                jnp.zeros((N,), jnp.float32), N, reps=4)
+                jnp.zeros((N,), jnp.float32), N, args=(tbl, rows, b, w))
 
 
 if __name__ == "__main__":
-    args = sys.argv[1:]
-    if "1" in args:
+    a = sys.argv[1:]
+    if "1" in a:
         sec_xla_scatter(jnp.bfloat16, "bf16")
-    if "2" in args:
+    if "2" in a:
         sec_xla_scatter(jnp.float32, "f32")
-    if "3" in args:
+    if "3" in a:
         sec_pallas_scatter()
-    if "4" in args:
+    if "4" in a:
         sec_fwd("reshape")
-    if "5" in args:
+    if "5" in a:
         sec_fwd("mask")
