@@ -1,0 +1,121 @@
+"""PSNR-vs-wallclock acceptance bench.
+
+The reference's quality bar is `README.md:112-121`: Instant-NGP reaches
+36.41 PSNR on blender-lego within a 5-minute budget (RTX 3090).  The lego
+fixture is unfetchable here (zero egress), so this trains the synthetic
+spheres scene at reference scale for a fixed wallclock budget and reports
+{psnr, iters, iters/s} — the quality-vs-time point the iters/s-only
+bench.py cannot see.
+
+Also records the linear-hash deviation A/B when asked: --hash-indexing xor
+runs the reference-exact XOR path on the same budget (VERDICT r1 #4).
+
+Prints ONE JSON line.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--budget-s", type=float, default=300.0)
+    ap.add_argument("--image-size", type=int, default=512)
+    ap.add_argument("--hash-indexing", default="linear_rows",
+                    choices=["linear_rows", "linear_nbr", "linear_rows_xla",
+                             "xor"])
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--tiny", action="store_true",
+                    help="harness smoke test: tiny scene/model (CPU-speed)")
+    ap.add_argument("--warmup-steps", type=int, default=48,
+                    help="steps (and one grid refresh) excluded from the "
+                         "budget to absorb XLA compiles")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from jnerf_tpu.models.losses import img2mse, mse2psnr
+    from jnerf_tpu.runner import Runner
+    from jnerf_tpu.utils.bench_cfg import ngp_synthetic_cfg
+
+    if args.tiny:
+        cfg = ngp_synthetic_cfg(
+            n_images=4, H=64, W=64, n_rays_per_batch=512,
+            target_batch_size=1 << 13, grid_size=32, nerf_steps=128,
+            hash_levels=8, log2_hashmap_size=13, tot_train_steps=1 << 30,
+        )
+    else:
+        cfg = ngp_synthetic_cfg(
+            n_images=16,
+            H=args.image_size,
+            W=args.image_size,
+            tot_train_steps=1 << 30,
+        )
+    cfg.hash_indexing = args.hash_indexing
+    runner = Runner()
+    freq = runner.sampler.update_den_freq
+
+    def steps(i0, n):
+        loss = None
+        for i in range(i0, i0 + n):
+            runner.cfg.m_training_step = i
+            runner.key, k_step, k_grid = jax.random.split(runner.key, 3)
+            if i % freq == 0:
+                runner._update_grid(i, k_grid)
+            loss = runner._train_step(k_step)
+            if i % freq == freq - 1:
+                runner.sampler.update_batch_rays()
+        return i + 1, loss
+
+    # Warmup outside the budget: the reference's 5-minute budget does not
+    # pay nvcc JIT either (its kernels ship precompiled).
+    i, loss = steps(0, args.warmup_steps)
+    loss.block_until_ready()
+
+    t0 = time.perf_counter()
+    window = freq
+    while time.perf_counter() - t0 < args.budget_s:
+        i, loss = steps(i, window)
+        loss.block_until_ready()
+    elapsed = time.perf_counter() - t0
+    iters = i - args.warmup_steps
+
+    # Held-out PSNR over a few val views.
+    psnrs = []
+    for img_id in range(min(4, runner.dataset["val"].n_images)):
+        img, _a, tar = runner.render_img(dataset_mode="val", img_id=img_id)
+        psnrs.append(float(mse2psnr(img2mse(
+            np.asarray(img, np.float32), np.asarray(tar, np.float32)))))
+
+    result = {
+        "metric": "ngp_psnr_at_budget",
+        "value": round(float(np.mean(psnrs)), 2),
+        "unit": "dB",
+        "vs_baseline": round(float(np.mean(psnrs)) / 36.41, 3),
+        "extra": {
+            "budget_s": args.budget_s,
+            "iters": iters,
+            "iters_per_s": round(iters / elapsed, 2),
+            "hash_indexing": args.hash_indexing,
+            "per_view_psnr": [round(p, 2) for p in psnrs],
+            "scene": ("synthetic-spheres-tiny" if args.tiny else
+                      f"synthetic-spheres-{args.image_size}") +
+                     " (lego unfetchable: zero egress)",
+            "backend": jax.default_backend(),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

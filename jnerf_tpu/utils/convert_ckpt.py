@@ -135,3 +135,53 @@ def density_input_permutation(n_levels: int = 16) -> np.ndarray:
         perm[lvl] = 2 * lvl  # our f0 column takes ref's (lvl, f0) row
         perm[n_levels + lvl] = 2 * lvl + 1
     return perm
+
+
+def fmlp_from_reference(con_weights: np.ndarray, dims) -> list:
+    """Reference FMLP concatenated weight vector -> per-layer param dicts.
+
+    The reference concatenates every layer's [in, out] weight TRANSPOSED and
+    flattened (`fully_fused_mlp.py:23-43`: ``weights[i].transpose(1,0)
+    .reshape(-1)``), padding the final layer's out-dim to 16 when smaller
+    (rgb head is 3-wide).  ``dims`` are the true [in, h..., out] dims.
+    Returns ``[{"w": [in, out] fp32}, ...]`` (our bias-free mlp.init_mlp
+    schema).
+    """
+    con_weights = np.asarray(con_weights)
+    n_layers = len(dims) - 1
+    out, o = [], 0
+    for i in range(n_layers):
+        ind, outd = dims[i], dims[i + 1]
+        stored_out = outd if (i < n_layers - 1 or outd >= 16) else 16
+        w_t = con_weights[o : o + ind * stored_out].reshape(stored_out, ind)
+        out.append({"w": np.ascontiguousarray(w_t.T[:, :outd], np.float32)})
+        o += ind * stored_out
+    assert o == con_weights.size, (o, con_weights.size)
+    return out
+
+
+def fmlp_to_reference(layers) -> np.ndarray:
+    """Inverse of fmlp_from_reference: per-layer dicts -> flat fp16 vector."""
+    parts = []
+    n = len(layers)
+    for i, p in enumerate(layers):
+        w = np.asarray(p["w"], np.float16)
+        if i == n - 1 and w.shape[1] < 16:
+            w = np.concatenate(
+                [w, np.zeros((w.shape[0], 16 - w.shape[1]), np.float16)], 1
+            )
+        parts.append(np.ascontiguousarray(w.T).reshape(-1))
+    return np.concatenate(parts)
+
+
+def ngp_mlps_from_reference(density_vec, rgb_vec, n_levels: int = 16,
+                            density_dims=(32, 64, 16),
+                            rgb_dims=(32, 64, 64, 3)):
+    """Unpack both NGP FMLPs and apply the density-input permutation
+    (our encoder output is feature-major; see density_input_permutation).
+    Returns (density_mlp, rgb_mlp) in our NGPNetworks param schema."""
+    density = fmlp_from_reference(density_vec, density_dims)
+    perm = density_input_permutation(n_levels)
+    density[0]["w"] = density[0]["w"][perm, :]
+    rgb = fmlp_from_reference(rgb_vec, rgb_dims)
+    return density, rgb

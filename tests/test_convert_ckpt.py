@@ -69,3 +69,40 @@ def test_density_permutation():
     perm = density_input_permutation(4)
     # ref rows [l0f0, l0f1, l1f0, l1f1, ...] -> ours [f0 levels..., f1 ...].
     np.testing.assert_array_equal(perm, [0, 2, 4, 6, 1, 3, 5, 7])
+
+
+def test_fmlp_roundtrip():
+    """Concat-transposed FMLP vector unpacking inverts exactly, including
+    the reference's 16-wide padding of the 3-wide rgb head."""
+    import numpy as np
+    from jnerf_tpu.utils.convert_ckpt import (
+        fmlp_from_reference,
+        fmlp_to_reference,
+    )
+
+    rng = np.random.default_rng(0)
+    dims = (32, 64, 64, 3)
+    layers = [
+        {"w": rng.standard_normal((dims[i], dims[i + 1])).astype(np.float16)
+         .astype(np.float32)}
+        for i in range(len(dims) - 1)
+    ]
+    vec = fmlp_to_reference(layers)
+    assert vec.dtype == np.float16
+    assert vec.size == 32 * 64 + 64 * 64 + 64 * 16
+    back = fmlp_from_reference(vec, dims)
+    for a, b in zip(layers, back):
+        np.testing.assert_array_equal(a["w"].astype(np.float16),
+                                      b["w"].astype(np.float16))
+
+
+def test_ngp_mlps_from_reference_shapes():
+    import numpy as np
+    from jnerf_tpu.utils.convert_ckpt import ngp_mlps_from_reference
+
+    rng = np.random.default_rng(1)
+    dvec = rng.standard_normal(32 * 64 + 64 * 16).astype(np.float16)
+    rvec = rng.standard_normal(32 * 64 + 64 * 64 + 64 * 16).astype(np.float16)
+    density, rgb = ngp_mlps_from_reference(dvec, rvec, n_levels=16)
+    assert [p["w"].shape for p in density] == [(32, 64), (64, 16)]
+    assert [p["w"].shape for p in rgb] == [(32, 64), (64, 64), (64, 3)]
