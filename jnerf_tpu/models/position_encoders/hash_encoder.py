@@ -43,6 +43,14 @@ class HashEncoder:
             indexing = cfg.hash_indexing or "linear_rows"
         assert n_pos_dims == 3, "hash grid is 3-D"
         self.indexing = indexing
+        # TPU-first deviation: the linear-hash paths cap hashed-level tables
+        # at 2^18 entries (8 MB bf16 neighborhood rows) — XLA row gathers are
+        # 3.5x faster below a ~14 MB operand cliff (tools/probe_gather.py),
+        # and pow2 sizes turn `% size` into AND.  Override with
+        # cfg.hashmap_fast_cap (entries); 'xor' keeps reference-exact sizes.
+        fast_cap = None
+        if indexing != "xor":
+            fast_cap = int(cfg.hashmap_fast_cap or (1 << 18))
         self.spec = HashGridSpec(
             n_levels=n_levels,
             n_features_per_level=n_features_per_level,
@@ -50,6 +58,7 @@ class HashEncoder:
             log2_hashmap_size=log2_hashmap_size,
             aabb_scale=float(aabb_scale),
             hash_func=hash_func,
+            max_level_size=fast_cap,
         )
         self.out_dim = self.spec.out_dim
         self.compute_dtype = None  # set by the owning network's precision policy

@@ -68,6 +68,12 @@ class HashGridSpec:
     aabb_scale: float = 1.0
     desired_resolution: float = 2048.0
     hash_func: str = DEFAULT_HASH_FUNC
+    # Extra cap on hashed-level table size (entries), on top of
+    # 2**log2_hashmap_size.  The TPU linear-hash paths set this to 2^18:
+    # XLA row gathers run 3.5x faster when the operand is <= ~14 MB
+    # (measured cliff, tools/probe_gather.py), and a pow2 size turns the
+    # per-level `% size` into a bitwise AND.  None = reference sizes.
+    max_level_size: int | None = None
     # Derived (filled in __post_init__):
     per_level_scale: float = field(init=False, default=0.0)
     scales: Tuple[float, ...] = field(init=False, default=())
@@ -84,6 +90,8 @@ class HashGridSpec:
         )
         scales, resolutions, sizes, offsets = [], [], [], [0]
         max_entries = 1 << self.log2_hashmap_size
+        if self.max_level_size is not None:
+            max_entries = min(max_entries, self.max_level_size)
         for lvl in range(self.n_levels):
             scale = 2.0 ** (lvl * math.log2(pls)) * self.base_resolution - 1.0
             res = int(math.ceil(scale)) + 1

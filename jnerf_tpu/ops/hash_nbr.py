@@ -102,16 +102,18 @@ def unpack_nbr_grad(spec: HashGridSpec, nbr_grad: jnp.ndarray) -> jnp.ndarray:
 
 # ------------------------------------------------------------------ forward
 def _entry_indices(spec: HashGridSpec, pos):
-    """[N, L] global entry index e0 and [N, L] x/y/z fractionals.
+    """[N, L] level-local entry index e0 and [N, L] x/y/z fractionals.
 
     All intermediates are [N, L]-shaped (minor dim L, no tile padding) —
-    never [*, 8]-minor, which pads 16x on TPU.
+    never [*, 8]-minor, which pads 16x on TPU.  When every hashed level's
+    size is a power of two (the TPU fast-cap default) the `% size` becomes
+    a bitwise AND: dense levels never overflow their size (x + y*res +
+    z*res^2 < res^3 <= size), so they mask with all-ones.
     """
     mults = level_multipliers(spec)
     A = jnp.asarray([m[0] for m in mults], jnp.uint32)
     B = jnp.asarray([m[1] for m in mults], jnp.uint32)
     C = jnp.asarray([m[2] for m in mults], jnp.uint32)
-    sizes = jnp.asarray(spec.level_sizes, jnp.uint32)
     scales = jnp.asarray(spec.scales, jnp.float32)
 
     g0, fr = [], []
@@ -120,55 +122,110 @@ def _entry_indices(spec: HashGridSpec, pos):
         g = jnp.floor(p)
         fr.append(p - g)
         g0.append(g.astype(jnp.uint32))
-    e0 = (g0[0] * A[None] + g0[1] * B[None] + g0[2] * C[None]) % sizes[None]
+    raw = g0[0] * A[None] + g0[1] * B[None] + g0[2] * C[None]
+    masks = []
+    use_and = True
+    for lvl in range(spec.n_levels):
+        sz = spec.level_sizes[lvl]
+        if spec.resolutions[lvl] ** 3 <= sz:
+            masks.append(0xFFFFFFFF)  # dense: raw < size already
+        elif sz & (sz - 1) == 0:
+            masks.append(sz - 1)
+        else:
+            use_and = False
+            break
+    if use_and:
+        e0 = raw & jnp.asarray(masks, jnp.uint32)[None]
+    else:
+        e0 = raw % jnp.asarray(spec.level_sizes, jnp.uint32)[None]
     return e0.astype(jnp.int32), fr
 
 
-def _weights_16(spec: HashGridSpec, pos):
-    """Per (sample, level): global entry index and 16 duplicated corner
-    weights (lane c*2+f gets w_c).  Shapes: [N*L] int32, [N*L, 16] f32."""
-    n = pos.shape[0]
-    L = spec.n_levels
-    e0, fr = _entry_indices(spec, pos)
-    offs = jnp.asarray(spec.level_offsets[:-1], jnp.int32)
-    idx = (offs[None, :] + e0).reshape(-1)
-    cols = []
-    for c in range(8):
-        wx = fr[0] if c & 1 else 1.0 - fr[0]
-        wy = fr[1] if (c >> 1) & 1 else 1.0 - fr[1]
-        wz = fr[2] if (c >> 2) & 1 else 1.0 - fr[2]
-        wc = wx * wy * wz  # [N, L]
-        cols += [wc, wc]
-    wrep = jnp.stack(cols, axis=-1).reshape(n * L, 16)  # [N, L, 16] -> flat
-    return idx, wrep
+# Corner bit patterns for the 16 neighborhood lanes (lane = c*2 + f):
+# which corner bit is set per lane, as [16] f32 host constants.
+_LANE16 = np.arange(16)
+_BX = ((_LANE16 >> 1) & 1).astype(np.float32)
+_BY = ((_LANE16 >> 2) & 1).astype(np.float32)
+_BZ = ((_LANE16 >> 3) & 1).astype(np.float32)
 
 
 import functools
 
 
 @functools.lru_cache(maxsize=8)
-def _assembly_matrix(L: int):
+def _assembly_matrix(L: int) -> np.ndarray:
     """[L*16, 2L] 0/1 matrix: one MXU matmul turns weighted neighborhood
     lanes [N, L*16] into the feature-major output [N, 2L] (sums each
     level's 8 corners per feature AND lays out [f0 levels..., f1 levels...]
-    in one op — no small-minor reductions, no concat)."""
+    in one op — no small-minor reductions, no concat).
+
+    Returns host numpy (NOT jnp): a cached jnp array created inside a trace
+    would leak that trace's tracer into every later caller."""
     m = np.zeros((L * 16, 2 * L), np.float32)
     for lvl in range(L):
         for c in range(8):
             for f in range(2):
                 m[lvl * 16 + c * 2 + f, f * L + lvl] = 1.0
-    return jnp.asarray(m)
+    return m
+
+
+# XLA's gather strategy has a measured cliff (tools/probe_gather.py,
+# bench v5e): operand tables <= ~8 MB gather at 3.4 ns/row, bigger tables
+# at 12.4 ns/row regardless of the footprint the indices actually touch.
+# Gathering per level (and, for levels past the cliff, from sub-table
+# splits + select) keeps every gather operand on the fast side.
+_FAST_GATHER_ROWS = 1 << 18  # 256Ki rows x 16 lanes x bf16 = 8 MB
+
+
+def _take_split(tbl: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Row gather where the operand is split into <=8 MB sub-tables."""
+    sz = tbl.shape[0]
+    if sz <= _FAST_GATHER_ROWS:
+        return jnp.take(tbl, idx, axis=0)
+    n_sub = -(-sz // _FAST_GATHER_ROWS)
+    out = None
+    for s in range(n_sub):
+        lo = s * _FAST_GATHER_ROWS
+        sub = tbl[lo : min(lo + _FAST_GATHER_ROWS, sz)]
+        part = jnp.take(sub, jnp.clip(idx - lo, 0, sub.shape[0] - 1), axis=0)
+        if out is None:
+            out = part
+        else:
+            out = jnp.where((idx >= lo)[:, None], part, out)
+    return out
 
 
 def _encode_from_nbr(spec: HashGridSpec, nbr: jnp.ndarray, pos: jnp.ndarray):
-    """Gather + blend against a prebuilt neighborhood table."""
-    n = pos.shape[0]
+    """Per-level gather + blend against a prebuilt neighborhood table.
+
+    Weights are built arithmetically per lane (X = (1-fx) + bx*(2fx-1)) so
+    XLA fuses them into the gather consumer — no [N, L, 16] weight tensor
+    ever hits HBM.
+    """
     L = spec.n_levels
-    idx, wrep = _weights_16(spec, pos)
-    rows = jnp.take(nbr, idx, axis=0)  # [N*L, 16]
-    weighted = (rows.astype(jnp.float32) * wrep).reshape(n, L * 16)
-    return jnp.dot(weighted, _assembly_matrix(L),
-                   preferred_element_type=jnp.float32)  # [N, 2L]
+    e0, fr = _entry_indices(spec, pos)
+    bx, by, bz = (jnp.asarray(b)[None, :] for b in (_BX, _BY, _BZ))  # [1,16]
+    parts = []
+    for lvl in range(L):
+        o, sz = spec.level_offsets[lvl], spec.level_sizes[lvl]
+        rows = _take_split(nbr[o : o + sz], e0[:, lvl])  # [N, 16]
+        fx = fr[0][:, lvl : lvl + 1]  # [N, 1]
+        fy = fr[1][:, lvl : lvl + 1]
+        fz = fr[2][:, lvl : lvl + 1]
+        w = (
+            ((1.0 - fx) + bx * (2.0 * fx - 1.0))
+            * ((1.0 - fy) + by * (2.0 * fy - 1.0))
+            * ((1.0 - fz) + bz * (2.0 * fz - 1.0))
+        )  # [N, 16]
+        # f32 product, bf16 store: halves concat+matmul traffic; the MXU
+        # accumulates the corner sum in f32 (preferred_element_type).
+        parts.append((rows.astype(jnp.float32) * w).astype(GATHER_DTYPE))
+    weighted = jnp.concatenate(parts, axis=1)  # [N, 16L] bf16
+    return jnp.dot(
+        weighted,
+        jnp.asarray(_assembly_matrix(L)).astype(GATHER_DTYPE),
+        preferred_element_type=jnp.float32,
+    )  # [N, 2L]
 
 
 # ----------------------------------------------------------------- backward
@@ -184,6 +241,8 @@ def _bwd_kernel(scale_ref, rows_ref, slot_ref, pos_ref, g_ref, out_ref,
     """One (level, sample-block) cell: build [BLK,128] values, RMW-scatter.
 
     Accumulator row r holds entries 8r..8r+7; lane = slot*16 + c*2 + f.
+    Operand blocks are shaped so the trailing two dims are (1, blk) over
+    [*, 1, blk] arrays or full-array (TPU BlockSpec divisibility rule).
     """
     import jax.lax as lax
     from jax.experimental import pallas as pl
@@ -194,7 +253,7 @@ def _bwd_kernel(scale_ref, rows_ref, slot_ref, pos_ref, g_ref, out_ref,
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    scale = scale_ref[0, 0]
+    scale = scale_ref[pl.program_id(0), 0]
 
     def fract(p):
         q = p * scale + 0.5
@@ -205,13 +264,20 @@ def _bwd_kernel(scale_ref, rows_ref, slot_ref, pos_ref, g_ref, out_ref,
     fz = fract(pos_ref[2, :])[:, None]
     g0 = g_ref[0, 0, :][:, None]
     g1 = g_ref[0, 1, :][:, None]
-    slot = slot_ref[0, :][:, None]  # [BLK, 1] int32
+    slot = slot_ref[0, 0, :][:, None]  # [BLK, 1] int32
 
+    # Arithmetic lane blends (broadcast jnp.where with mixed [1,128] /
+    # [BLK,1] operands trips a jax-0.9 mlir lowering-cache KeyError):
+    # X = bit ? fx : 1-fx  ==  (1-fx) + bit*(2fx-1).
     lane = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    X = jnp.where((lane >> 1) & 1 == 1, fx, 1.0 - fx)  # corner x-bit
-    Y = jnp.where((lane >> 2) & 1 == 1, fy, 1.0 - fy)
-    Z = jnp.where((lane >> 3) & 1 == 1, fz, 1.0 - fz)
-    G = jnp.where(lane & 1 == 1, g1, g0)
+    bx = ((lane >> 1) & 1).astype(jnp.float32)
+    by = ((lane >> 2) & 1).astype(jnp.float32)
+    bz = ((lane >> 3) & 1).astype(jnp.float32)
+    bf = (lane & 1).astype(jnp.float32)
+    X = (1.0 - fx) + bx * (2.0 * fx - 1.0)
+    Y = (1.0 - fy) + by * (2.0 * fy - 1.0)
+    Z = (1.0 - fz) + bz * (2.0 * fz - 1.0)
+    G = g0 + bf * (g1 - g0)
     S = ((lane >> 4) == slot).astype(jnp.float32)
     vals_ref[:] = X * Y * Z * G * S
 
@@ -220,7 +286,7 @@ def _bwd_kernel(scale_ref, rows_ref, slot_ref, pos_ref, g_ref, out_ref,
     def body(j, _):
         base = j * unroll
         for u in range(unroll):
-            r = rows_ref[0, base + u]
+            r = rows_ref[0, 0, base + u]
             out_ref[0, pl.ds(r, 1), :] += vals_ref[pl.ds(base + u, 1), :]
         return 0
 
@@ -237,9 +303,13 @@ def _grad_table_pallas(spec: HashGridSpec, pos, g, interpret: bool):
     blk = _sample_blk(n)
     rows_max = max(spec.level_sizes) // 8
 
+    nblk = n // blk
     e0, _ = _entry_indices(spec, pos)  # weights recomputed in-kernel
-    rows = (e0 >> 3).T.astype(jnp.int32)  # [L, N] level-local row
-    slots = (e0 & 7).T.astype(jnp.int32)  # [L, N]
+    # [L, N] -> [L*nblk, 1, blk] so the (1, 1, blk) blocks satisfy the
+    # TPU BlockSpec rule (trailing block dims must divide (8, 128) or
+    # equal the array dims).
+    rows = (e0 >> 3).T.astype(jnp.int32).reshape(L * nblk, 1, blk)
+    slots = (e0 & 7).T.astype(jnp.int32).reshape(L * nblk, 1, blk)
     pos_t = pos.T  # [3, N]
     # [N, 2L] feature-major -> [L, 2, N]
     g_t = g.T.reshape(2, L, n).transpose(1, 0, 2)
@@ -247,13 +317,13 @@ def _grad_table_pallas(spec: HashGridSpec, pos, g, interpret: bool):
 
     acc = pl.pallas_call(
         _bwd_kernel,
-        grid=(L, n // blk),
+        grid=(L, nblk),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda l, i: (l, 0),
+            pl.BlockSpec((L, 1), lambda l, i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, blk), lambda l, i: (l, i),
+            pl.BlockSpec((1, 1, blk), lambda l, i: (l * nblk + i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, blk), lambda l, i: (l, i),
+            pl.BlockSpec((1, 1, blk), lambda l, i: (l * nblk + i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, blk), lambda l, i: (0, i),
                          memory_space=pltpu.VMEM),
