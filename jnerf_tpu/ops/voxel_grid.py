@@ -172,3 +172,170 @@ def upsample_grid(density, sh, new_reso):
         )
 
     return resize(density[..., None])[..., 0], resize(sh)
+
+
+# --------------------------------------------------------------- sparse grid
+# TPU-first sparse path for large resolutions (512^3 dense would be ~15 GB
+# with SH + grads + RMSprop state).  Mirrors the reference's links
+# indirection (`contrib/plenoxel/.../svox2_network.py:18-163`): a dense
+# int32 ``links`` volume (-1 = empty) indexes capacity-bounded
+# ``density_data``/``sh_data`` tables.  All shapes static under jit; the
+# active-set construction (sparsify) happens host-side between phases.
+
+
+def dilate_mask(mask, iters: int = 2):
+    """6-connected binary dilation via shifted ORs (svox2's `dilate` op)."""
+    m = mask
+    for _ in range(iters):
+        grown = m
+        for axis in range(3):
+            grown = (
+                grown
+                | jnp.roll(m, 1, axis).at[(slice(None),) * axis + (0,)].set(False)
+                | jnp.roll(m, -1, axis).at[(slice(None),) * axis + (-1,)].set(False)
+            )
+        m = grown
+    return m
+
+
+def build_sparse(density, sh, mask, cap=None):
+    """Dense grids + active mask -> (links, density_data, sh_data, cells).
+
+    Host-side (numpy): the active count is data-dependent.  ``cap`` pads the
+    tables to a static capacity (default: active count rounded up to a
+    multiple of 2^15) so later phases can grow without re-jitting.
+    ``cells`` is the inverse map (flat cell id per data row; -1 for pad).
+    """
+    density = np.asarray(density)
+    sh = np.asarray(sh)
+    mask = np.asarray(mask)
+    X, Y, Z = mask.shape
+    flat = mask.reshape(-1)
+    active = np.flatnonzero(flat)
+    n = active.size
+    if cap is None:
+        cap = -(-max(n, 1) // (1 << 15)) * (1 << 15)
+    assert n <= cap, (n, cap)
+    links = np.full(X * Y * Z, -1, np.int32)
+    links[active] = np.arange(n, dtype=np.int32)
+    ddata = np.zeros((cap,), np.float32)
+    sdata = np.zeros((cap, sh.shape[-1]), np.float32)
+    ddata[:n] = density.reshape(-1)[active]
+    sdata[:n] = sh.reshape(-1, sh.shape[-1])[active]
+    cells = np.full((cap,), -1, np.int32)
+    cells[:n] = active
+    return (
+        links.reshape(X, Y, Z),
+        jnp.asarray(ddata),
+        jnp.asarray(sdata),
+        jnp.asarray(cells),
+    )
+
+
+def trilinear_sample_sparse(spec: VoxelGridSpec, links, density_data,
+                            sh_data, pos):
+    """Sparse-table version of `trilinear_sample`.
+
+    Per corner: one element gather of the link + one row gather of the
+    packed [cap, 1+C] data; empty links contribute zeros (svox2 semantics).
+    """
+    X, Y, Z = spec.reso
+    flat_links = links.reshape(-1)
+    data = jnp.concatenate([density_data[:, None], sh_data], axis=-1)
+
+    p = jnp.clip(pos, 0.0, jnp.asarray([X - 1, Y - 1, Z - 1], jnp.float32))
+    g0 = jnp.floor(jnp.clip(p, 0, jnp.asarray([X - 2, Y - 2, Z - 2]))).astype(jnp.int32)
+    fr = p - g0
+
+    out = 0.0
+    for c in range(8):
+        dx, dy, dz = c & 1, (c >> 1) & 1, (c >> 2) & 1
+        idx = ((g0[:, 0] + dx) * Y + (g0[:, 1] + dy)) * Z + (g0[:, 2] + dz)
+        lk = jnp.take(flat_links, idx, axis=0)
+        row = jnp.take(data, jnp.maximum(lk, 0), axis=0)
+        w = (
+            (fr[:, 0] if dx else 1 - fr[:, 0])
+            * (fr[:, 1] if dy else 1 - fr[:, 1])
+            * (fr[:, 2] if dz else 1 - fr[:, 2])
+        )
+        out = out + jnp.where(lk >= 0, w, 0.0)[:, None] * row
+    return out[:, 0], out[:, 1:]
+
+
+def render_rays_grid_sparse(spec: VoxelGridSpec, links, density_data, sh_data,
+                            rays_o, rays_d, n_samples: int, step_size: float,
+                            background_brightness: float = 1.0,
+                            sigma_thresh: float = 1e-8, delta_scale=None):
+    """Sparse-table version of `render_rays_grid` (same compositing)."""
+    X, Y, Z = spec.reso
+    hi = jnp.asarray([X - 1, Y - 1, Z - 1], jnp.float32)
+    inv = 1.0 / jnp.where(jnp.abs(rays_d) > 1e-9, rays_d, 1e-9)
+    t0 = (0.0 - rays_o) * inv
+    t1 = (hi - rays_o) * inv
+    tmin = jnp.maximum(jnp.max(jnp.minimum(t0, t1), -1), 0.0)
+    tmax = jnp.min(jnp.maximum(t0, t1), -1)
+
+    r = rays_o.shape[0]
+    ts = tmin[:, None] + step_size * jnp.arange(n_samples)[None, :]
+    valid = ts <= tmax[:, None]
+
+    pos = rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :]
+    sigma, sh_c = trilinear_sample_sparse(
+        spec, links, density_data, sh_data, pos.reshape(-1, 3)
+    )
+    sigma = jnp.where(valid.reshape(-1), sigma, 0.0).reshape(r, n_samples)
+    sigma = jnp.where(sigma > sigma_thresh, sigma, 0.0)
+
+    viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    basis = eval_sh_basis(spec.basis_dim, viewdirs)  # [R, B]
+    sh_c = sh_c.reshape(r, n_samples, 3, spec.basis_dim)
+    rgb = jax.nn.sigmoid(jnp.einsum("rscb,rb->rsc", sh_c, basis))
+
+    delta = step_size if delta_scale is None else step_size * delta_scale[:, None]
+    alpha = 1.0 - jnp.exp(-sigma * delta)
+    trans = jnp.cumprod(1.0 - alpha + 1e-10, axis=-1)
+    t_excl = jnp.concatenate([jnp.ones_like(trans[..., :1]), trans[..., :-1]], -1)
+    weights = alpha * t_excl
+    out = jnp.sum(weights[..., None] * rgb, axis=1)
+    out = out + background_brightness * trans[..., -1:]
+    return out
+
+
+def total_variation_sparse(spec: VoxelGridSpec, links, cells, data, key,
+                           n_subset: int):
+    """Subset TV over active cells (parity: `tv_grad_sparse` evaluates TV on
+    a random cell subset, `contrib/plenoxel/.../op/tv_grad_sparse.py:4-48`).
+
+    data: [cap] or [cap, C].  Samples n_subset active rows, differences
+    against +1 neighbors along each axis (missing neighbor = 0, svox2's
+    convention for sparse TV), returns the mean squared difference.
+    """
+    X, Y, Z = spec.reso
+    cap = cells.shape[0]
+    flat_links = links.reshape(-1)
+    ridx = jax.random.randint(key, (n_subset,), 0, cap)
+    cell = jnp.take(cells, ridx, axis=0)
+    active = cell >= 0
+    cell = jnp.maximum(cell, 0)
+    base = jnp.take(data, ridx, axis=0)
+    if base.ndim == 1:
+        base = base[:, None]
+    z = cell % Z
+    y = (cell // Z) % Y
+    x = cell // (Y * Z)
+    tv = 0.0
+    cnt = 0.0
+    for axis, (cc, lim, stride) in enumerate(
+        ((x, X, Y * Z), (y, Y, Z), (z, Z, 1))
+    ):
+        nb_ok = cc + 1 < lim
+        nb_cell = cell + stride
+        lk = jnp.take(flat_links, jnp.minimum(nb_cell, X * Y * Z - 1), axis=0)
+        nb = jnp.take(data, jnp.maximum(lk, 0), axis=0)
+        if nb.ndim == 1:
+            nb = nb[:, None]
+        nb = jnp.where((nb_ok & (lk >= 0))[:, None], nb, 0.0)
+        d2 = jnp.where((active & nb_ok)[:, None], (nb - base) ** 2, 0.0)
+        tv = tv + jnp.sum(d2)
+        cnt = cnt + jnp.sum(active & nb_ok) * base.shape[1]
+    return tv / jnp.maximum(cnt, 1.0)

@@ -36,14 +36,24 @@ class PlenOptim:
     def __init__(self, rms_beta=0.95):
         self.rms_beta = rms_beta
 
+    @staticmethod
+    def _keys(params):
+        # dense grids use {density, sh}; the sparse 512^3 path uses
+        # {density_data, sh_data} tables — same optimizer semantics.
+        dk = "density" if "density" in params else "density_data"
+        sk = "sh" if "sh" in params else "sh_data"
+        return dk, sk
+
     def init(self, params):
-        return {"sh_rms": jax.tree.map(jnp.zeros_like, params["sh"])
-                if isinstance(params["sh"], dict)
-                else jnp.zeros_like(params["sh"])}
+        _, sk = self._keys(params)
+        return {"sh_rms": jax.tree.map(jnp.zeros_like, params[sk])
+                if isinstance(params[sk], dict)
+                else jnp.zeros_like(params[sk])}
 
     def step(self, params, grads, state, lr_sigma, lr_sh):
-        density = params["density"] - lr_sigma * grads["density"]
+        dk, sk = self._keys(params)
+        density = params[dk] - lr_sigma * grads[dk]
         b = self.rms_beta
-        rms = b * state["sh_rms"] + (1 - b) * grads["sh"] ** 2
-        sh = params["sh"] - lr_sh * grads["sh"] / (jnp.sqrt(rms) + 1e-8)
-        return {"density": density, "sh": sh}, {"sh_rms": rms}
+        rms = b * state["sh_rms"] + (1 - b) * grads[sk] ** 2
+        sh = params[sk] - lr_sh * grads[sk] / (jnp.sqrt(rms) + 1e-8)
+        return {dk: density, sk: sh}, {"sh_rms": rms}

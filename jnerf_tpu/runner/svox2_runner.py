@@ -58,6 +58,7 @@ class Svox2Runner:
 
         self.optim = PlenOptim(rms_beta=cfg.rms_beta or 0.95)
         self.params = self.grid.init(jax.random.PRNGKey(cfg.seed or 0))
+        self.aux = {}  # sparse-mode links/cells (non-trainable jit args)
         self.opt_state = self.optim.init(self.params)
         self.gstep = 0
         self.save_path = os.path.join(cfg.log_dir or "./logs", self.exp_name)
@@ -73,19 +74,22 @@ class Svox2Runner:
         bg = self.background_brightness
         sigma_thresh = self.sigma_thresh
 
-        def step(params, opt_state, rays_o, rays_d, rgb_gt, lr_sigma, lr_sh):
+        def step(params, opt_state, aux, rays_o, rays_d, rgb_gt, lr_sigma,
+                 lr_sh, key):
+            k_tv, k_tvc = jax.random.split(key)
+
             def loss_fn(p):
                 rgb = grid.volume_render(
                     p, rays_o, rays_d, n_samples=n_samples,
                     step_size=step_size, background_brightness=bg,
-                    sigma_thresh=sigma_thresh,
+                    sigma_thresh=sigma_thresh, aux=aux,
                 )
                 mse = jnp.mean((rgb - rgb_gt) ** 2)
                 loss = mse
                 if l_tv > 0:
-                    loss = loss + l_tv * grid.tv(p)
+                    loss = loss + l_tv * grid.tv(p, aux=aux, key=k_tv)
                 if l_tv_sh > 0:
-                    loss = loss + l_tv_sh * grid.tv_color(p)
+                    loss = loss + l_tv_sh * grid.tv_color(p, aux=aux, key=k_tvc)
                 return loss, mse
 
             (loss, mse), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -111,16 +115,21 @@ class Svox2Runner:
             ):
                 reso_idx += 1
                 print(f"upsampling grid -> {self.reso_list[reso_idx]}")
-                self.params = self.grid.upsample(
+                self.params, self.aux = self.grid.upsample(
                     self.params, tuple(self.reso_list[reso_idx])
                 )
+                if self.grid.sparse:
+                    n_active = int((self.aux["cells"] >= 0).sum())
+                    print(f"sparse grid: {n_active} active cells "
+                          f"(cap {self.aux['cells'].shape[0]})")
                 self.opt_state = self.optim.init(self.params)
                 self._train_jit = self._build_train_step()
             rays_o, rays_d, rgb = self.dataset["train"].next_batch(self.batch_size)
             self.params, self.opt_state, mse = self._train_jit(
-                self.params, self.opt_state, rays_o, rays_d, rgb,
+                self.params, self.opt_state, self.aux, rays_o, rays_d, rgb,
                 jnp.float32(self.lr_sigma_fn(self.gstep)),
                 jnp.float32(self.lr_sh_fn(self.gstep)),
+                jax.random.PRNGKey(self.gstep),
             )
             self.gstep += 1
         return float(mse)
@@ -128,11 +137,11 @@ class Svox2Runner:
     def render_image(self, dataset, img_idx, chunk=4096):
         if self._render_jit is None:
             self._render_jit = jax.jit(
-                lambda p, ro, rd: self.grid.volume_render(
+                lambda p, aux, ro, rd: self.grid.volume_render(
                     p, ro, rd, n_samples=self.n_samples,
                     step_size=self.step_size,
                     background_brightness=self.background_brightness,
-                    sigma_thresh=self.sigma_thresh,
+                    sigma_thresh=self.sigma_thresh, aux=aux,
                 )
             )
         rays_o, rays_d = dataset.rays_for_image(img_idx)
@@ -143,7 +152,8 @@ class Svox2Runner:
         out = []
         for s in range(0, n + pad, chunk):
             out.append(np.asarray(
-                self._render_jit(self.params, ro[s:s+chunk], rd[s:s+chunk])
+                self._render_jit(self.params, self.aux, ro[s:s+chunk],
+                                 rd[s:s+chunk])
             ))
         H, W = dataset.H, dataset.W
         return np.concatenate(out)[:n].reshape(H, W, 3)
@@ -163,12 +173,12 @@ class Svox2Runner:
 
     def save(self, path=None):
         path = path or os.path.join(self.save_path, "grid.npz")
-        self.grid.save_npz(path, jax.device_get(self.params))
+        self.grid.save_npz(path, jax.device_get(self.params), aux=self.aux)
         return path
 
     def load(self, path=None):
         path = path or os.path.join(self.save_path, "grid.npz")
-        self.params = self.grid.load_npz(path)
+        self.params, self.aux = self.grid.load_npz(path)
         self.opt_state = self.optim.init(self.params)
         self._train_jit = None
         self._render_jit = None

@@ -115,3 +115,127 @@ class TestSvox2EndToEnd:
         np.testing.assert_allclose(
             np.asarray(runner.params["density"]), d_before, atol=2e-3
         )
+
+
+@pytest.mark.slow
+class TestSvox2Sparse:
+    """512^3-path machinery at test scale: upsample crosses the sparse
+    threshold (forced low), trains a step sparse, renders, round-trips npz.
+    Parity: `contrib/plenoxel/.../svox2_network.py:320-...` resample
+    (threshold + dilate sparsify) and runner upsampling at `upsamp_every`."""
+
+    def test_sparse_upsample_train_render_save(self, tmp_path, synthetic_scene,
+                                               fresh_cfg):
+        import textwrap
+        from jnerf_tpu.utils.config import init_cfg
+        from jnerf_tpu.runner.svox2_runner import Svox2Runner
+
+        here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        base = os.path.join(here, "projects", "svox2", "configs",
+                            "svox2_base.py")
+        cfg = tmp_path / "svox2_sparse.py"
+        cfg.write_text(textwrap.dedent(f"""
+            _base_ = {base!r}
+            exp_name = "svox2_sparse"
+            log_dir = {str(tmp_path / 'logs')!r}
+            dataset_dir = {synthetic_scene!r}
+            dataset = dict(
+                train=dict(root=dataset_dir, split='train'),
+                test=dict(root=dataset_dir, split='test'),
+            )
+            model = dict(reso=24, radius=1.4)
+            reso_list = [[24]*3, [48]*3]
+            upsamp_every = 600
+            sparse_cell_threshold = 30000  # force sparsity at 48^3
+            # after 600 tiny-scene steps, ambient density sits near the 0.1
+            # init and object cells rise toward ~0.2: 0.12 splits them
+            density_thresh = 0.12
+            sparse_dilate = 1
+            batch_size = 1024
+            n_iters = 700
+            render_n_samples = 96
+            lr_sigma_delay_steps = 0
+            lambda_tv = 1e-5
+            lambda_tv_sh = 1e-3
+            seed = 0
+        """))
+        init_cfg(str(cfg))
+        runner = Svox2Runner()
+        mse_dense = runner.train(600)  # phase 1: dense 24^3
+        assert not runner.grid.sparse
+        mse_sparse = runner.train(96)  # crosses upsamp_every -> sparse 48^3
+        assert runner.grid.sparse
+        assert set(runner.params) == {"density_data", "sh_data"}
+        n_active = int((runner.aux["cells"] >= 0).sum())
+        assert 0 < n_active < 48 ** 3  # genuinely sparse
+        assert np.isfinite(mse_sparse) and mse_sparse < 0.2, (
+            mse_dense, mse_sparse)
+
+        img = runner.render_image(runner.dataset["test"], 0)
+        assert np.isfinite(img).all()
+
+        # sparse npz round-trip (svox2's native sparse links schema)
+        p = runner.save()
+        d_before = np.asarray(runner.params["density_data"])
+        runner.load(p)
+        assert runner.grid.sparse
+        n = int(np.asarray(runner.aux["links"]).max()) + 1
+        np.testing.assert_allclose(
+            np.asarray(runner.params["density_data"])[:n],
+            d_before[:n], atol=2e-3,
+        )
+        mse_resumed = runner.train(4)
+        assert np.isfinite(mse_resumed)
+
+
+@pytest.mark.slow
+class TestSvox2Sparse512:
+    """One real 512^3 sparse training step (VERDICT r1 #8): upsample
+    24^3 -> 512^3 with threshold+dilate sparsification, step, and check
+    the memory story holds (links + capacity-bounded tables, never a
+    dense 512^3 SH volume)."""
+
+    def test_512_step(self, tmp_path, synthetic_scene, fresh_cfg):
+        import textwrap
+        from jnerf_tpu.utils.config import init_cfg
+        from jnerf_tpu.runner.svox2_runner import Svox2Runner
+
+        here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        base = os.path.join(here, "projects", "svox2", "configs",
+                            "svox2_base.py")
+        cfg = tmp_path / "svox2_512.py"
+        cfg.write_text(textwrap.dedent(f"""
+            _base_ = {base!r}
+            exp_name = "svox2_512"
+            log_dir = {str(tmp_path / 'logs')!r}
+            dataset_dir = {synthetic_scene!r}
+            dataset = dict(
+                train=dict(root=dataset_dir, split='train'),
+                test=dict(root=dataset_dir, split='test'),
+            )
+            model = dict(reso=24, radius=1.4)
+            reso_list = [[24]*3, [512]*3]
+            upsamp_every = 600
+            density_thresh = 0.15
+            sparse_dilate = 1
+            batch_size = 512
+            n_iters = 604
+            render_n_samples = 96
+            lr_sigma_delay_steps = 0
+            lambda_tv = 1e-5
+            lambda_tv_sh = 1e-3
+            seed = 0
+        """))
+        init_cfg(str(cfg))
+        runner = Svox2Runner()
+        runner.train(600)  # dense 24^3 phase
+        mse = runner.train(4)  # upsample -> sparse 512^3, 4 steps
+        assert runner.grid.sparse
+        assert runner.grid.spec.reso == (512, 512, 512)
+        assert runner.aux["links"].shape == (512, 512, 512)
+        n_active = int((runner.aux["cells"] >= 0).sum())
+        assert 0 < n_active < 512 ** 3 // 4, n_active
+        # the sparse tables must stay far below the 15 GB dense footprint
+        cap = runner.params["sh_data"].shape[0]
+        assert cap * 28 * 4 < 6e9, cap
+        assert np.isfinite(mse), mse

@@ -13,12 +13,11 @@ from jnerf_tpu.utils.bench_cfg import ngp_synthetic_cfg
 from jnerf_tpu.utils.config import get_cfg
 
 cfg = ngp_synthetic_cfg(n_images=8, H=256, W=256)
-from jnerf_tpu.utils.registry import NETWORKS, build_from_cfg
-from jnerf_tpu.dataset.synthetic import SyntheticSpheresDataset
+from jnerf_tpu.utils.registry import DATASETS, NETWORKS, build_from_cfg
+import jnerf_tpu.dataset  # register datasets
 
 # minimal dataset hookup for encoder aabb
-cfg.dataset_obj = build_from_cfg(cfg.dataset.train, __import__(
-    "jnerf_tpu.utils.registry", fromlist=["DATASETS"]).DATASETS)
+cfg.dataset_obj = build_from_cfg(cfg.dataset.train, DATASETS)
 model = build_from_cfg(cfg.model, NETWORKS)
 cfg.model_obj = model
 
@@ -35,13 +34,19 @@ print(f"spec entries={spec.n_entries} sizes[5]={spec.level_sizes[5]}",
 from jnerf_tpu.ops import hash_nbr as H
 
 
+def _sync(out):
+    # the relay fakes block_until_ready; a scalar fetch forces completion
+    leaves = jax.tree.leaves(out)
+    return float(jnp.sum(leaves[0].astype(jnp.float32)))
+
+
 def timeit(name, fn, *args, reps=10):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(fn(*args))
     t0 = time.perf_counter()
+    out = None
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t = (time.perf_counter() - t0) / reps
     print(f"{name}: {t*1e3:.1f} ms", flush=True)
 
