@@ -253,13 +253,24 @@ def sample_rays(
     s_range = jnp.arange(n_samples, dtype=jnp.int32)[None, :]
     valid = s_range < count[:, None]
 
-    # warp_position = aabb.relative_pos (`ray_sampler_header.h:852-858`);
-    # clip guards boundary samples from segment-granularity probing.
-    def _warp(o, d):
-        w = (o[:, None] + t_sel * d[:, None] - g.aabb_min) / g.aabb_diag
+    # Exact per-candidate clipping (ADVICE r1): segment-granularity probes
+    # evaluate inside-ness at segment centers only, so trailing candidates
+    # of a boundary segment can lie past tmax or outside the aabb — mask
+    # them geometrically instead of compositing them at clamped positions.
+    valid = valid & (t_sel <= tmax[:, None])
+
+    def _rel(o, d):
+        return (o[:, None] + t_sel * d[:, None] - g.aabb_min) / g.aabb_diag
+
+    wx, wy, wz = _rel(ox, dx), _rel(oy, dy), _rel(oz, dz)
+    for w in (wx, wy, wz):
+        valid = valid & (w >= 0.0) & (w <= 1.0)
+
+    # warp_position = aabb.relative_pos (`ray_sampler_header.h:852-858`).
+    def _warp(w):
         return jnp.where(valid, jnp.clip(w, 0.0, 1.0), 0.5)
 
-    pos_warp = jnp.stack([_warp(ox, dx), _warp(oy, dy), _warp(oz, dz)], axis=-1)
+    pos_warp = jnp.stack([_warp(wx), _warp(wy), _warp(wz)], axis=-1)
     dir_warp = jnp.broadcast_to(
         (rays_d * 0.5 + 0.5)[:, None, :], pos_warp.shape
     )
