@@ -64,12 +64,15 @@ def _roll1d(x, shift: int):
 
 
 # ------------------------------------------------------------------ build
-def build_nbr_table(spec: HashGridSpec, table: jnp.ndarray) -> jnp.ndarray:
-    """Master [n_entries, 2] -> neighborhood [n_entries, 16].
+def build_nbr_table(spec: HashGridSpec, table: jnp.ndarray):
+    """Master [n_entries, 2] -> tuple of per-level neighborhood tables.
 
-    Row e of level l holds base e's 8 corner entries, lane c*2+f =
-    master[(e + off_{l,c}) % E_l, f].  All rolls run on 1-D feature-
-    interleaved flats (a [E, 2] roll would tile-pad 64x).  Differentiable.
+    Level l's table is [E_l, 16]: row e holds base e's 8 corner entries,
+    lane c*2+f = master[(e + off_{l,c}) % E_l, f].  All rolls run on 1-D
+    feature-interleaved flats (a [E, 2] roll would tile-pad 64x).
+    Returned as SEPARATE arrays, not one concat: XLA gathers from a <=8 MB
+    operand at 3.5 ns/row vs 12.4 above ~14 MB, and a gather whose operand
+    is a slice-of-big-buffer fuses to the slow path.  Differentiable.
     """
     corner_offs = _corner_offsets(spec)
     flat = table.reshape(-1)  # [2 * n_entries] feature-interleaved
@@ -82,7 +85,7 @@ def build_nbr_table(spec: HashGridSpec, table: jnp.ndarray) -> jnp.ndarray:
             for c in range(8)
         ]
         parts.append(jnp.concatenate(rolled, axis=1))  # [E, 16]
-    return jnp.concatenate(parts, axis=0)
+    return tuple(parts)
 
 
 def unpack_nbr_grad(spec: HashGridSpec, nbr_grad: jnp.ndarray) -> jnp.ndarray:
@@ -139,6 +142,43 @@ def _entry_indices(spec: HashGridSpec, pos):
     else:
         e0 = raw % jnp.asarray(spec.level_sizes, jnp.uint32)[None]
     return e0.astype(jnp.int32), fr
+
+
+def _level_mask(spec: HashGridSpec, lvl: int):
+    """AND-mask for level lvl's `% size`, or None if a real mod is needed.
+
+    Dense levels never overflow (x + y*res + z*res^2 < res^3 <= size);
+    pow2 hashed levels mask with size-1.
+    """
+    sz = spec.level_sizes[lvl]
+    if spec.resolutions[lvl] ** 3 <= sz:
+        return 0xFFFFFFFF
+    if sz & (sz - 1) == 0:
+        return sz - 1
+    return None
+
+
+def _entry_indices_T(spec: HashGridSpec, pos):
+    """[L, N] level-local entry indices, built per level and stacked —
+    never materializes [N, L] + transpose (an XLA transpose at NGP scale
+    costs ~110 ms, tools/probe_step_parts.py)."""
+    mults = level_multipliers(spec)
+    out = []
+    for lvl in range(spec.n_levels):
+        A, B, C = (jnp.uint32(m) for m in mults[lvl])
+        scale = jnp.float32(spec.scales[lvl])
+        g = [
+            jnp.floor(pos[:, d] * scale + 0.5).astype(jnp.uint32)
+            for d in range(3)
+        ]
+        raw = g[0] * A + g[1] * B + g[2] * C
+        mask = _level_mask(spec, lvl)
+        if mask is None:
+            e0 = raw % jnp.uint32(spec.level_sizes[lvl])
+        else:
+            e0 = raw & jnp.uint32(mask)
+        out.append(e0.astype(jnp.int32))
+    return jnp.stack(out, axis=0)
 
 
 # Corner bit patterns for the 16 neighborhood lanes (lane = c*2 + f):
@@ -198,24 +238,36 @@ def _take_split(tbl: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 def _encode_from_nbr(spec: HashGridSpec, nbr: jnp.ndarray, pos: jnp.ndarray):
     """Per-level gather + blend against a prebuilt neighborhood table.
 
-    Weights are built arithmetically per lane (X = (1-fx) + bx*(2fx-1)) so
-    XLA fuses them into the gather consumer — no [N, L, 16] weight tensor
-    ever hits HBM.
+    Everything is computed per level from the three pos columns — no
+    [N, L] index/fractional tensors (their per-level column extracts are
+    transpose-class ops, ~tens of ms at NGP scale).  Weights are built
+    arithmetically per lane (X = (1-fx) + bx*(2fx-1)) so XLA fuses them
+    into the gather consumer.
     """
     L = spec.n_levels
-    e0, fr = _entry_indices(spec, pos)
+    mults = level_multipliers(spec)
     bx, by, bz = (jnp.asarray(b)[None, :] for b in (_BX, _BY, _BZ))  # [1,16]
+    px, py, pz = pos[:, 0], pos[:, 1], pos[:, 2]  # hoisted [N] columns
     parts = []
     for lvl in range(L):
-        o, sz = spec.level_offsets[lvl], spec.level_sizes[lvl]
-        rows = _take_split(nbr[o : o + sz], e0[:, lvl])  # [N, 16]
-        fx = fr[0][:, lvl : lvl + 1]  # [N, 1]
-        fy = fr[1][:, lvl : lvl + 1]
-        fz = fr[2][:, lvl : lvl + 1]
+        sz = spec.level_sizes[lvl]
+        scale = jnp.float32(spec.scales[lvl])
+        A, B, C = (jnp.uint32(m) for m in mults[lvl])
+        g, fr = [], []
+        for p in (px, py, pz):
+            q = p * scale + 0.5
+            gq = jnp.floor(q)
+            fr.append((q - gq)[:, None])  # [N, 1]
+            g.append(gq.astype(jnp.uint32))
+        raw = g[0] * A + g[1] * B + g[2] * C
+        mask = _level_mask(spec, lvl)
+        e0 = (raw & jnp.uint32(mask) if mask is not None
+              else raw % jnp.uint32(sz)).astype(jnp.int32)
+        rows = _take_split(nbr[lvl], e0)  # [N, 16]
         w = (
-            ((1.0 - fx) + bx * (2.0 * fx - 1.0))
-            * ((1.0 - fy) + by * (2.0 * fy - 1.0))
-            * ((1.0 - fz) + bz * (2.0 * fz - 1.0))
+            ((1.0 - fr[0]) + bx * (2.0 * fr[0] - 1.0))
+            * ((1.0 - fr[1]) + by * (2.0 * fr[1] - 1.0))
+            * ((1.0 - fr[2]) + bz * (2.0 * fr[2] - 1.0))
         )  # [N, 16]
         # f32 product, bf16 store: halves concat+matmul traffic; the MXU
         # accumulates the corner sum in f32 (preferred_element_type).
@@ -241,29 +293,41 @@ def _bwd_kernel(scale_ref, rows_ref, slot_ref, pos_ref, g_ref, out_ref,
     """One (level, sample-block) cell: build [BLK,128] values, RMW-scatter.
 
     Accumulator row r holds entries 8r..8r+7; lane = slot*16 + c*2 + f.
-    Operand blocks are shaped so the trailing two dims are (1, blk) over
-    [*, 1, blk] arrays or full-array (TPU BlockSpec divisibility rule).
+    Two lowering pitfalls shape this kernel (tools/probe_bwd_var.py,
+    tools/probe_step_parts.py):
+    - the accumulator block must be 2-D [rows, 128];
+    - inputs must arrive WITHOUT in-jit transposes — XLA transposes of
+      [N, L]-shaped int/float arrays cost ~110 ms at NGP scale, 3x the
+      kernel itself.  pos keeps its natural [N, 3] layout (block [blk, 3]);
+      the upstream grad keeps [N, 2L] (block [blk, 2L]) and the kernel
+      lane-selects its level's two feature columns with an iota mask.
     """
     import jax.lax as lax
     from jax.experimental import pallas as pl
 
     blk = vals_ref.shape[0]
+    lvl = pl.program_id(0)
 
     @pl.when(pl.program_id(1) == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    scale = scale_ref[pl.program_id(0), 0]
+    scale = scale_ref[lvl, 0]
 
     def fract(p):
         q = p * scale + 0.5
         return q - jnp.floor(q)
 
-    fx = fract(pos_ref[0, :])[:, None]  # [BLK, 1]
-    fy = fract(pos_ref[1, :])[:, None]
-    fz = fract(pos_ref[2, :])[:, None]
-    g0 = g_ref[0, 0, :][:, None]
-    g1 = g_ref[0, 1, :][:, None]
+    fx = fract(pos_ref[:, 0:1])  # [BLK, 1]
+    fy = fract(pos_ref[:, 1:2])
+    fz = fract(pos_ref[:, 2:3])
+    two_l = g_ref.shape[1]
+    gl = lax.broadcasted_iota(jnp.int32, (1, two_l), 1)
+    gall = g_ref[:]
+    g0 = jnp.sum(jnp.where(gl == lvl, gall, 0.0), axis=1, keepdims=True)
+    g1 = jnp.sum(
+        jnp.where(gl == lvl + two_l // 2, gall, 0.0), axis=1, keepdims=True
+    )
     slot = slot_ref[0, 0, :][:, None]  # [BLK, 1] int32
 
     # Arithmetic lane blends (broadcast jnp.where with mixed [1,128] /
@@ -287,7 +351,7 @@ def _bwd_kernel(scale_ref, rows_ref, slot_ref, pos_ref, g_ref, out_ref,
         base = j * unroll
         for u in range(unroll):
             r = rows_ref[0, 0, base + u]
-            out_ref[0, pl.ds(r, 1), :] += vals_ref[pl.ds(base + u, 1), :]
+            out_ref[pl.ds(r, 1), :] += vals_ref[pl.ds(base + u, 1), :]
         return 0
 
     lax.fori_loop(0, blk // unroll, body, 0, unroll=1)
@@ -304,15 +368,12 @@ def _grad_table_pallas(spec: HashGridSpec, pos, g, interpret: bool):
     rows_max = max(spec.level_sizes) // 8
 
     nblk = n // blk
-    e0, _ = _entry_indices(spec, pos)  # weights recomputed in-kernel
-    # [L, N] -> [L*nblk, 1, blk] so the (1, 1, blk) blocks satisfy the
-    # TPU BlockSpec rule (trailing block dims must divide (8, 128) or
-    # equal the array dims).
-    rows = (e0 >> 3).T.astype(jnp.int32).reshape(L * nblk, 1, blk)
-    slots = (e0 & 7).T.astype(jnp.int32).reshape(L * nblk, 1, blk)
-    pos_t = pos.T  # [3, N]
-    # [N, 2L] feature-major -> [L, 2, N]
-    g_t = g.T.reshape(2, L, n).transpose(1, 0, 2)
+    # Per-level indices stacked straight into [L, N] (computing the
+    # vectorized [N, L] form and transposing costs ~110 ms at NGP scale —
+    # 3x the kernel; see _bwd_kernel docstring).
+    e0T = _entry_indices_T(spec, pos)  # [L, N] int32
+    rows = (e0T >> 3).reshape(L * nblk, 1, blk)
+    slots = (e0T & 7).reshape(L * nblk, 1, blk)
     scales = jnp.asarray(spec.scales, jnp.float32).reshape(L, 1)
 
     acc = pl.pallas_call(
@@ -325,29 +386,55 @@ def _grad_table_pallas(spec: HashGridSpec, pos, g, interpret: bool):
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, blk), lambda l, i: (l * nblk + i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, blk), lambda l, i: (0, i),
+            pl.BlockSpec((blk, 3), lambda l, i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, blk), lambda l, i: (l, 0, i),
+            pl.BlockSpec((blk, 2 * L), lambda l, i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, rows_max, 128), lambda l, i: (l, 0, 0),
+        out_specs=pl.BlockSpec((rows_max, 128), lambda l, i: (l, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((L, rows_max, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((L * rows_max, 128), jnp.float32),
         scratch_shapes=[pltpu.VMEM((blk, 128), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024
         ),
         interpret=interpret,
-    )(scales, rows, slots, pos_t, g_t)
+    )(scales, rows, slots, pos, g)
+    return unpack_slabs(spec, acc, rows_max)
 
-    # [L, rows_max, 128] -> per-level [E, 16] slabs -> master layout.
-    slabs = [
-        acc[lvl, : spec.level_sizes[lvl] // 8].reshape(
-            spec.level_sizes[lvl], 16
-        )
-        for lvl in range(L)
-    ]
-    return unpack_nbr_grad(spec, jnp.concatenate(slabs, axis=0))
+
+@functools.lru_cache(maxsize=8)
+def _corner_select(c: int) -> np.ndarray:
+    """[16, 2] selection: lanes (2c, 2c+1) -> features (0, 1)."""
+    p = np.zeros((16, 2), np.float32)
+    p[2 * c, 0] = 1.0
+    p[2 * c + 1, 1] = 1.0
+    return p
+
+
+def unpack_slabs(spec: HashGridSpec, acc, rows_max: int):
+    """Kernel accumulator [L*rows_max, 128] -> master grad [n_entries, 2].
+
+    master[e, f] = sum_c slab[(e + off_c) mod E, c*2 + f]: per corner an
+    axis-0 roll of the [E, 16] slab (row shifts only — NO flat-interleaved
+    rolls or [E, 2]-minor intermediates, which cost ~110 ms at NGP scale)
+    and a [16, 2] selection matmul.
+    """
+    corner_offs = _corner_offsets(spec)
+    parts = []
+    for lvl in range(spec.n_levels):
+        sz = spec.level_sizes[lvl]
+        slab = acc[lvl * rows_max : lvl * rows_max + sz // 8].reshape(sz, 16)
+        m = 0.0
+        for c in range(8):
+            off = int(corner_offs[lvl, c]) % sz
+            # adjoint of build_nbr_table's nbr[e] = master[e + off]:
+            # master[m] += slab[m - off]  ==  roll(slab, +off)[m]
+            rolled = jnp.roll(slab, off, axis=0) if off else slab
+            m = m + jnp.dot(rolled, jnp.asarray(_corner_select(c)),
+                            preferred_element_type=jnp.float32)
+        parts.append(m)  # [E, 2]
+    return jnp.concatenate(parts, axis=0)
 
 
 # ------------------------------------------------------------------- public

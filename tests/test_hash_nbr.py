@@ -37,7 +37,7 @@ def test_build_unpack_adjoint(spec, table):
     """<build(t), y> == <t, unpack(y)> — the roll pair is a true adjoint."""
     y = jax.random.normal(jax.random.PRNGKey(2), (spec.n_entries, 16),
                           jnp.float32)
-    lhs = jnp.vdot(build_nbr_table(spec, table), y)
+    lhs = jnp.vdot(jnp.concatenate(build_nbr_table(spec, table), axis=0), y)
     rhs = jnp.vdot(table, unpack_nbr_grad(spec, y))
     np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-5)
 
@@ -70,7 +70,7 @@ def test_grad_matches_autodiff_of_forward(spec, table, pos):
     from jnerf_tpu.ops.hash_nbr import _encode_from_nbr
 
     def loss_ref(t):
-        nbr = build_nbr_table(spec, t)  # f32, differentiable rolls
+        nbr = build_nbr_table(spec, t)  # f32 tuple, differentiable rolls
         return jnp.sum(jnp.sin(_encode_from_nbr(spec, nbr, pos)))
 
     def loss_fast(t):
