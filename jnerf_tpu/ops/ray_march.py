@@ -130,18 +130,23 @@ def _ray_components(rays):
     return rays[:, 0], rays[:, 1], rays[:, 2]
 
 
-def candidate_ts(cfg: MarchConfig, t_start, n: int):
-    """[R] start times -> ([R, n] candidate times, [R, n] step sizes).
+def dt_at(cfg: MarchConfig, t):
+    """Step size at time t (calc_dt closed form)."""
+    if cfg.const_dt:
+        return jnp.broadcast_to(jnp.float32(cfg.dt_const), t.shape)
+    return jnp.clip(t * cfg.cone_angle, cfg.dt_min, cfg.dt_max)
 
-    Closed-form evaluation of the reference's t += calc_dt(t) recurrence.
+
+def ts_at(cfg: MarchConfig, t_start, k):
+    """Candidate time at (fractional) step index k [R, X] from start [R].
+
+    Closed-form evaluation of the reference's t += calc_dt(t) recurrence at
+    ARBITRARY indices — lets the strided march evaluate t only at probe
+    centers and selected samples instead of materializing [R, K] grids.
     """
-    k = jnp.arange(n, dtype=jnp.float32)[None, :]
     t0 = t_start[:, None]
     if cfg.const_dt:
-        dt = jnp.full((1, 1), cfg.dt_const, jnp.float32)
-        t = t0 + k * cfg.dt_const
-        return t, jnp.broadcast_to(dt, t.shape)
-
+        return t0 + k * cfg.dt_const
     c = cfg.cone_angle
     t_lin_end = cfg.dt_min / c  # below this, steps are dt_min
     t_geo_end = cfg.dt_max / c  # above this, steps are dt_max
@@ -165,8 +170,14 @@ def candidate_ts(cfg: MarchConfig, t_start, n: int):
             t_at_n2 + (k - n1 - n2) * cfg.dt_max,
         ),
     )
-    dt = jnp.clip(t * c, cfg.dt_min, cfg.dt_max)
-    return t, dt
+    return t
+
+
+def candidate_ts(cfg: MarchConfig, t_start, n: int):
+    """[R] start times -> ([R, n] candidate times, [R, n] step sizes)."""
+    k = jnp.arange(n, dtype=jnp.float32)[None, :]
+    t = ts_at(cfg, t_start, k)
+    return t, dt_at(cfg, t)
 
 
 def _first_s_indices(occ, s: int):
@@ -204,28 +215,27 @@ def sample_rays(
     )
     t_start = tmin + dt0 * u
 
-    t, dt = candidate_ts(cfg, t_start, cfg.n_candidates)  # [R, K]
-
-    # Candidate positions as separate x/y/z [R, K] arrays: a [R, K, 3] AoS
-    # array would tile-pad its minor dim to 128 lanes (42x HBM waste).
+    # Candidate positions as separate x/y/z arrays: a [R, K, 3] AoS array
+    # would tile-pad its minor dim to 128 lanes (42x HBM waste).
     ox, oy, oz = _ray_components(rays_o)
     dx, dy, dz = _ray_components(rays_d)
-    px = ox[:, None] + t * dx[:, None]
-    py = oy[:, None] + t * dy[:, None]
-    pz = oz[:, None] + t * dz[:, None]
 
     # Strided occupancy probing (see MarchConfig.probe_stride): one bitfield
     # lookup per segment of `stride` candidates, probed at segment center;
     # inside-ness is also evaluated per segment so segments are strictly
     # all-or-none, letting the first-S selection run at probe granularity
-    # (stride^2-fold cheaper cumsum + searchsorted).
+    # (stride^2-fold cheaper cumsum + searchsorted).  Candidate times come
+    # from the closed form ts_at at exactly the indices needed — the full
+    # [R, K] t/dt grids are never materialized.
     stride = cfg.probe_stride
     if stride > 1 and n_samples % stride == 0:
-        tp = 0.5 * (t[:, ::stride] + t[:, stride - 1 :: stride])  # [R, K/s]
+        kp = jnp.arange(0, cfg.n_candidates, stride, jnp.float32)[None, :]
+        tp = 0.5 * (ts_at(cfg, t_start, kp)
+                    + ts_at(cfg, t_start, kp + (stride - 1)))  # [R, K/s]
         qx = ox[:, None] + tp * dx[:, None]
         qy = oy[:, None] + tp * dy[:, None]
         qz = oz[:, None] + tp * dz[:, None]
-        dtp = dt[:, ::stride]
+        dtp = dt_at(cfg, ts_at(cfg, t_start, kp))
 
         def _inp(p):
             return (p >= g.aabb_min) & (p <= g.aabb_max)
@@ -240,6 +250,11 @@ def sample_rays(
         idx = (pidx[:, :, None] * stride + within).reshape(-1, n_samples)
         count = pcount * stride
     else:
+        t, dt = candidate_ts(cfg, t_start, cfg.n_candidates)  # [R, K]
+        px = ox[:, None] + t * dx[:, None]
+        py = oy[:, None] + t * dy[:, None]
+        pz = oz[:, None] + t * dz[:, None]
+
         def _in(p):
             return (p >= g.aabb_min) & (p <= g.aabb_max)
 
@@ -248,8 +263,8 @@ def sample_rays(
         occ = inside & occupancy_at_xyz(bitfield, px, py, pz, mip, g)
         idx, count = _first_s_indices(occ, n_samples)  # [R, S], [R]
 
-    t_sel = jnp.take_along_axis(t, idx, axis=1)
-    dt_sel = jnp.take_along_axis(dt, idx, axis=1)
+    t_sel = ts_at(cfg, t_start, idx.astype(jnp.float32))
+    dt_sel = dt_at(cfg, t_sel)
     s_range = jnp.arange(n_samples, dtype=jnp.int32)[None, :]
     valid = s_range < count[:, None]
 
