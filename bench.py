@@ -28,6 +28,8 @@ def main():
     parser.add_argument("--warmup", type=int, default=512)
     parser.add_argument("--steps", type=int, default=256)
     parser.add_argument("--image-size", type=int, default=512)
+    parser.add_argument("--encoder", default="f2l16",
+                        choices=["f2l16", "f4l8"])
     args = parser.parse_args()
 
     import jax
@@ -38,11 +40,14 @@ def main():
     from jnerf_tpu.utils.bench_cfg import ngp_synthetic_cfg
     from jnerf_tpu.runner import Runner
 
+    enc = (dict(hash_levels=8, hash_features=4)
+           if args.encoder == "f4l8" else {})
     ngp_synthetic_cfg(
         n_images=16,
         H=args.image_size,
         W=args.image_size,
         tot_train_steps=args.warmup + args.steps,
+        **enc,
     )
     from jnerf_tpu.utils.metrics import ThroughputMeter
 

@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--hash-indexing", default="linear_rows",
                     choices=["linear_rows", "linear_nbr", "linear_rows_xla",
                              "xor"])
+    ap.add_argument("--encoder", default="f2l16", choices=["f2l16", "f4l8"],
+                    help="hash-grid shape: reference 16x2 or the TPU "
+                         "alternative 8 levels x 4 features (half the "
+                         "gather/scatter count, same output width)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--tiny", action="store_true",
                     help="harness smoke test: tiny scene/model (CPU-speed)")
@@ -55,11 +59,14 @@ def main():
             hash_levels=8, log2_hashmap_size=13, tot_train_steps=1 << 30,
         )
     else:
+        enc = (dict(hash_levels=8, hash_features=4)
+               if args.encoder == "f4l8" else {})
         cfg = ngp_synthetic_cfg(
             n_images=16,
             H=args.image_size,
             W=args.image_size,
             tot_train_steps=1 << 30,
+            **enc,
         )
     cfg.hash_indexing = args.hash_indexing
     runner = Runner()
@@ -107,6 +114,7 @@ def main():
             "iters": iters,
             "iters_per_s": round(iters / elapsed, 2),
             "hash_indexing": args.hash_indexing,
+            "encoder": args.encoder,
             "per_view_psnr": [round(p, 2) for p in psnrs],
             "scene": ("synthetic-spheres-tiny" if args.tiny else
                       f"synthetic-spheres-{args.image_size}") +

@@ -50,7 +50,9 @@ class HashEncoder:
         # cfg.hashmap_fast_cap (entries); 'xor' keeps reference-exact sizes.
         fast_cap = None
         if indexing != "xor":
-            fast_cap = int(cfg.hashmap_fast_cap or (1 << 18))
+            # 8 MB of [E, 8F] bf16 neighborhood rows per level.
+            default_cap = (8 << 20) // (8 * n_features_per_level * 2)
+            fast_cap = int(cfg.hashmap_fast_cap or default_cap)
         self.spec = HashGridSpec(
             n_levels=n_levels,
             n_features_per_level=n_features_per_level,
@@ -79,6 +81,8 @@ class HashEncoder:
 
         if self.indexing == "linear_nbr":
             return "nbr"
+        if self.spec.n_features_per_level != 2:
+            return "nbr"  # the 128-lane rows packing is F=2-only
         if self.indexing == "linear_rows_xla":
             return "rows"
         return "rows" if jax.default_backend() == "cpu" else "nbr"

@@ -65,41 +65,43 @@ def _roll1d(x, shift: int):
 
 # ------------------------------------------------------------------ build
 def build_nbr_table(spec: HashGridSpec, table: jnp.ndarray):
-    """Master [n_entries, 2] -> tuple of per-level neighborhood tables.
+    """Master [n_entries, F] -> tuple of per-level neighborhood tables.
 
-    Level l's table is [E_l, 16]: row e holds base e's 8 corner entries,
-    lane c*2+f = master[(e + off_{l,c}) % E_l, f].  All rolls run on 1-D
-    feature-interleaved flats (a [E, 2] roll would tile-pad 64x).
+    Level l's table is [E_l, 8F]: row e holds base e's 8 corner entries,
+    lane c*F+f = master[(e + off_{l,c}) % E_l, f].  All rolls run on 1-D
+    feature-interleaved flats (a [E, F] roll would tile-pad 64x).
     Returned as SEPARATE arrays, not one concat: XLA gathers from a <=8 MB
     operand at 3.5 ns/row vs 12.4 above ~14 MB, and a gather whose operand
     is a slice-of-big-buffer fuses to the slow path.  Differentiable.
     """
+    F = spec.n_features_per_level
     corner_offs = _corner_offsets(spec)
-    flat = table.reshape(-1)  # [2 * n_entries] feature-interleaved
+    flat = table.reshape(-1)  # [F * n_entries] feature-interleaved
     parts = []
     for lvl in range(spec.n_levels):
         o, sz = spec.level_offsets[lvl], spec.level_sizes[lvl]
-        lf = jax.lax.dynamic_slice_in_dim(flat, 2 * o, 2 * sz, 0)  # [2E]
+        lf = jax.lax.dynamic_slice_in_dim(flat, F * o, F * sz, 0)  # [F*E]
         rolled = [
-            _roll1d(lf, -2 * int(corner_offs[lvl, c])).reshape(sz, 2)
+            _roll1d(lf, -F * int(corner_offs[lvl, c])).reshape(sz, F)
             for c in range(8)
         ]
-        parts.append(jnp.concatenate(rolled, axis=1))  # [E, 16]
+        parts.append(jnp.concatenate(rolled, axis=1))  # [E, 8F]
     return tuple(parts)
 
 
 def unpack_nbr_grad(spec: HashGridSpec, nbr_grad: jnp.ndarray) -> jnp.ndarray:
-    """Adjoint of build_nbr_table: [n_entries, 16] f32 -> [n_entries, 2]."""
+    """Adjoint of build_nbr_table: [n_entries, 8F] f32 -> [n_entries, F]."""
+    F = spec.n_features_per_level
     corner_offs = _corner_offsets(spec)
     parts = []
     for lvl in range(spec.n_levels):
         o, sz = spec.level_offsets[lvl], spec.level_sizes[lvl]
-        slab = jax.lax.dynamic_slice_in_dim(nbr_grad, o, sz, 0)  # [E, 16]
+        slab = jax.lax.dynamic_slice_in_dim(nbr_grad, o, sz, 0)  # [E, 8F]
         acc = 0.0
         for c in range(8):
-            pair = slab[:, 2 * c : 2 * c + 2].reshape(2 * sz)  # 1-D flat
-            acc = acc + _roll1d(pair, 2 * int(corner_offs[lvl, c]))
-        parts.append(acc.reshape(sz, 2))
+            pair = slab[:, F * c : F * c + F].reshape(F * sz)  # 1-D flat
+            acc = acc + _roll1d(pair, F * int(corner_offs[lvl, c]))
+        parts.append(acc.reshape(sz, F))
     return jnp.concatenate(parts, axis=0)
 
 
@@ -181,31 +183,31 @@ def _entry_indices_T(spec: HashGridSpec, pos):
     return jnp.stack(out, axis=0)
 
 
-# Corner bit patterns for the 16 neighborhood lanes (lane = c*2 + f):
-# which corner bit is set per lane, as [16] f32 host constants.
-_LANE16 = np.arange(16)
-_BX = ((_LANE16 >> 1) & 1).astype(np.float32)
-_BY = ((_LANE16 >> 2) & 1).astype(np.float32)
-_BZ = ((_LANE16 >> 3) & 1).astype(np.float32)
+def _corner_bits(F: int):
+    """Corner bit patterns for the 8F neighborhood lanes (lane = c*F + f):
+    (bx, by, bz) [8F] f32 host constants."""
+    c = np.arange(8 * F) // F
+    return tuple(((c >> d) & 1).astype(np.float32) for d in range(3))
 
 
 import functools
 
 
 @functools.lru_cache(maxsize=8)
-def _assembly_matrix(L: int) -> np.ndarray:
-    """[L*16, 2L] 0/1 matrix: one MXU matmul turns weighted neighborhood
-    lanes [N, L*16] into the feature-major output [N, 2L] (sums each
-    level's 8 corners per feature AND lays out [f0 levels..., f1 levels...]
+def _assembly_matrix(L: int, F: int) -> np.ndarray:
+    """[L*8F, F*L] 0/1 matrix: one MXU matmul turns weighted neighborhood
+    lanes [N, L*8F] into the feature-major output [N, F*L] (sums each
+    level's 8 corners per feature AND lays out [f0 levels..., f1 ...]
     in one op — no small-minor reductions, no concat).
 
     Returns host numpy (NOT jnp): a cached jnp array created inside a trace
     would leak that trace's tracer into every later caller."""
-    m = np.zeros((L * 16, 2 * L), np.float32)
+    W = 8 * F
+    m = np.zeros((L * W, F * L), np.float32)
     for lvl in range(L):
         for c in range(8):
-            for f in range(2):
-                m[lvl * 16 + c * 2 + f, f * L + lvl] = 1.0
+            for f in range(F):
+                m[lvl * W + c * F + f, f * L + lvl] = 1.0
     return m
 
 
@@ -214,19 +216,25 @@ def _assembly_matrix(L: int) -> np.ndarray:
 # at 12.4 ns/row regardless of the footprint the indices actually touch.
 # Gathering per level (and, for levels past the cliff, from sub-table
 # splits + select) keeps every gather operand on the fast side.
-_FAST_GATHER_ROWS = 1 << 18  # 256Ki rows x 16 lanes x bf16 = 8 MB
+_FAST_GATHER_BYTES = 8 << 20  # measured cliff is ~14 MB; leave margin
+
+
+def fast_gather_rows(row_bytes: int) -> int:
+    """Largest row count whose table stays on the fast-gather side."""
+    return max(1, _FAST_GATHER_BYTES // max(row_bytes, 1))
 
 
 def _take_split(tbl: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Row gather where the operand is split into <=8 MB sub-tables."""
     sz = tbl.shape[0]
-    if sz <= _FAST_GATHER_ROWS:
+    limit = fast_gather_rows(tbl.shape[1] * tbl.dtype.itemsize)
+    if sz <= limit:
         return jnp.take(tbl, idx, axis=0)
-    n_sub = -(-sz // _FAST_GATHER_ROWS)
+    n_sub = -(-sz // limit)
     out = None
     for s in range(n_sub):
-        lo = s * _FAST_GATHER_ROWS
-        sub = tbl[lo : min(lo + _FAST_GATHER_ROWS, sz)]
+        lo = s * limit
+        sub = tbl[lo : min(lo + limit, sz)]
         part = jnp.take(sub, jnp.clip(idx - lo, 0, sub.shape[0] - 1), axis=0)
         if out is None:
             out = part
@@ -245,8 +253,9 @@ def _encode_from_nbr(spec: HashGridSpec, nbr: jnp.ndarray, pos: jnp.ndarray):
     into the gather consumer.
     """
     L = spec.n_levels
+    F = spec.n_features_per_level
     mults = level_multipliers(spec)
-    bx, by, bz = (jnp.asarray(b)[None, :] for b in (_BX, _BY, _BZ))  # [1,16]
+    bx, by, bz = (jnp.asarray(b)[None, :] for b in _corner_bits(F))  # [1,8F]
     px, py, pz = pos[:, 0], pos[:, 1], pos[:, 2]  # hoisted [N] columns
     parts = []
     for lvl in range(L):
@@ -263,21 +272,21 @@ def _encode_from_nbr(spec: HashGridSpec, nbr: jnp.ndarray, pos: jnp.ndarray):
         mask = _level_mask(spec, lvl)
         e0 = (raw & jnp.uint32(mask) if mask is not None
               else raw % jnp.uint32(sz)).astype(jnp.int32)
-        rows = _take_split(nbr[lvl], e0)  # [N, 16]
+        rows = _take_split(nbr[lvl], e0)  # [N, 8F]
         w = (
             ((1.0 - fr[0]) + bx * (2.0 * fr[0] - 1.0))
             * ((1.0 - fr[1]) + by * (2.0 * fr[1] - 1.0))
             * ((1.0 - fr[2]) + bz * (2.0 * fr[2] - 1.0))
-        )  # [N, 16]
+        )  # [N, 8F]
         # f32 product, bf16 store: halves concat+matmul traffic; the MXU
         # accumulates the corner sum in f32 (preferred_element_type).
         parts.append((rows.astype(jnp.float32) * w).astype(GATHER_DTYPE))
-    weighted = jnp.concatenate(parts, axis=1)  # [N, 16L] bf16
+    weighted = jnp.concatenate(parts, axis=1)  # [N, 8F*L] bf16
     return jnp.dot(
         weighted,
-        jnp.asarray(_assembly_matrix(L)).astype(GATHER_DTYPE),
+        jnp.asarray(_assembly_matrix(L, F)).astype(GATHER_DTYPE),
         preferred_element_type=jnp.float32,
-    )  # [N, 2L]
+    )  # [N, F*L]
 
 
 # ----------------------------------------------------------------- backward
@@ -288,96 +297,109 @@ def _sample_blk(n: int) -> int:
     return blk
 
 
-def _bwd_kernel(scale_ref, rows_ref, slot_ref, pos_ref, g_ref, out_ref,
-                vals_ref):
-    """One (level, sample-block) cell: build [BLK,128] values, RMW-scatter.
+@functools.lru_cache(maxsize=16)
+def _make_bwd_kernel(F: int, L: int):
+    """Kernel factory: one (level, sample-block) cell builds [BLK,128]
+    values and RMW-scatters them.
 
-    Accumulator row r holds entries 8r..8r+7; lane = slot*16 + c*2 + f.
-    Two lowering pitfalls shape this kernel (tools/probe_bwd_var.py,
-    tools/probe_step_parts.py):
+    With P = 128 // (8F) entries per accumulator row, row r holds entries
+    P*r..P*r+P-1; lane = slot*8F + c*F + f.  Two lowering pitfalls shape
+    this kernel (tools/probe_bwd_var.py, tools/probe_step_parts.py):
     - the accumulator block must be 2-D [rows, 128];
     - inputs must arrive WITHOUT in-jit transposes — XLA transposes of
       [N, L]-shaped int/float arrays cost ~110 ms at NGP scale, 3x the
       kernel itself.  pos keeps its natural [N, 3] layout (block [blk, 3]);
-      the upstream grad keeps [N, 2L] (block [blk, 2L]) and the kernel
-      lane-selects its level's two feature columns with an iota mask.
+      the upstream grad keeps [N, F*L] (block [blk, F*L]) and the kernel
+      lane-selects its level's feature columns with an iota mask.
     """
-    import jax.lax as lax
-    from jax.experimental import pallas as pl
+    W = 8 * F
+    log2f = F.bit_length() - 1
+    log2w = W.bit_length() - 1
 
-    blk = vals_ref.shape[0]
-    lvl = pl.program_id(0)
+    def kern(scale_ref, rows_ref, slot_ref, pos_ref, g_ref, out_ref,
+             vals_ref):
+        import jax.lax as lax
+        from jax.experimental import pallas as pl
 
-    @pl.when(pl.program_id(1) == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
+        lvl = pl.program_id(0)
 
-    scale = scale_ref[lvl, 0]
+        @pl.when(pl.program_id(1) == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
 
-    def fract(p):
-        q = p * scale + 0.5
-        return q - jnp.floor(q)
+        scale = scale_ref[lvl, 0]
 
-    fx = fract(pos_ref[:, 0:1])  # [BLK, 1]
-    fy = fract(pos_ref[:, 1:2])
-    fz = fract(pos_ref[:, 2:3])
-    two_l = g_ref.shape[1]
-    gl = lax.broadcasted_iota(jnp.int32, (1, two_l), 1)
-    gall = g_ref[:]
-    g0 = jnp.sum(jnp.where(gl == lvl, gall, 0.0), axis=1, keepdims=True)
-    g1 = jnp.sum(
-        jnp.where(gl == lvl + two_l // 2, gall, 0.0), axis=1, keepdims=True
-    )
-    slot = slot_ref[0, 0, :][:, None]  # [BLK, 1] int32
+        def fract(p):
+            q = p * scale + 0.5
+            return q - jnp.floor(q)
 
-    # Arithmetic lane blends (broadcast jnp.where with mixed [1,128] /
-    # [BLK,1] operands trips a jax-0.9 mlir lowering-cache KeyError):
-    # X = bit ? fx : 1-fx  ==  (1-fx) + bit*(2fx-1).
-    lane = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    bx = ((lane >> 1) & 1).astype(jnp.float32)
-    by = ((lane >> 2) & 1).astype(jnp.float32)
-    bz = ((lane >> 3) & 1).astype(jnp.float32)
-    bf = (lane & 1).astype(jnp.float32)
-    X = (1.0 - fx) + bx * (2.0 * fx - 1.0)
-    Y = (1.0 - fy) + by * (2.0 * fy - 1.0)
-    Z = (1.0 - fz) + bz * (2.0 * fz - 1.0)
-    G = g0 + bf * (g1 - g0)
-    S = ((lane >> 4) == slot).astype(jnp.float32)
-    vals_ref[:] = X * Y * Z * G * S
+        fx = fract(pos_ref[:, 0:1])  # [BLK, 1]
+        fy = fract(pos_ref[:, 1:2])
+        fz = fract(pos_ref[:, 2:3])
+        fl = g_ref.shape[1]
+        gl = lax.broadcasted_iota(jnp.int32, (1, fl), 1)
+        gall = g_ref[:]
+        slot = slot_ref[0, 0, :][:, None]  # [BLK, 1] int32
 
-    unroll = 8
+        # Arithmetic lane blends (broadcast jnp.where with mixed [1,128] /
+        # [BLK,1] operands trips a jax-0.9 mlir lowering-cache KeyError):
+        # X = bit ? fx : 1-fx  ==  (1-fx) + bit*(2fx-1).
+        lane = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        bx = ((lane >> log2f) & 1).astype(jnp.float32)
+        by = ((lane >> (log2f + 1)) & 1).astype(jnp.float32)
+        bz = ((lane >> (log2f + 2)) & 1).astype(jnp.float32)
+        X = (1.0 - fx) + bx * (2.0 * fx - 1.0)
+        Y = (1.0 - fy) + by * (2.0 * fy - 1.0)
+        Z = (1.0 - fz) + bz * (2.0 * fz - 1.0)
+        G = 0.0
+        for f in range(F):
+            gcol = jnp.sum(
+                jnp.where(gl == lvl + f * L, gall, 0.0), axis=1,
+                keepdims=True,
+            )  # [BLK, 1]
+            G = G + gcol * ((lane & (F - 1)) == f).astype(jnp.float32)
+        S = ((lane >> log2w) == slot).astype(jnp.float32)
+        vals_ref[:] = X * Y * Z * G * S
 
-    def body(j, _):
-        base = j * unroll
-        for u in range(unroll):
-            r = rows_ref[0, 0, base + u]
-            out_ref[pl.ds(r, 1), :] += vals_ref[pl.ds(base + u, 1), :]
-        return 0
+        unroll = 8
 
-    lax.fori_loop(0, blk // unroll, body, 0, unroll=1)
+        def body(j, _):
+            base = j * unroll
+            for u in range(unroll):
+                r = rows_ref[0, 0, base + u]
+                out_ref[pl.ds(r, 1), :] += vals_ref[pl.ds(base + u, 1), :]
+            return 0
+
+        blk = vals_ref.shape[0]
+        lax.fori_loop(0, blk // unroll, body, 0, unroll=1)
+
+    return kern
 
 
 def _grad_table_pallas(spec: HashGridSpec, pos, g, interpret: bool):
-    """[N,3] pos + [N,2L] upstream grad -> master-table grad [n_entries,2]."""
+    """[N,3] pos + [N,F*L] upstream grad -> master-table grad [n_entries,F]."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n = pos.shape[0]
     L = spec.n_levels
+    F = spec.n_features_per_level
+    P = 128 // (8 * F)  # entries per accumulator row
+    log2p = P.bit_length() - 1
     blk = _sample_blk(n)
-    rows_max = max(spec.level_sizes) // 8
+    rows_max = max(spec.level_sizes) // P
 
     nblk = n // blk
     # Per-level indices stacked straight into [L, N] (computing the
     # vectorized [N, L] form and transposing costs ~110 ms at NGP scale —
-    # 3x the kernel; see _bwd_kernel docstring).
+    # 3x the kernel; see _make_bwd_kernel docstring).
     e0T = _entry_indices_T(spec, pos)  # [L, N] int32
-    rows = (e0T >> 3).reshape(L * nblk, 1, blk)
-    slots = (e0T & 7).reshape(L * nblk, 1, blk)
+    rows = (e0T >> log2p).reshape(L * nblk, 1, blk)
+    slots = (e0T & (P - 1)).reshape(L * nblk, 1, blk)
     scales = jnp.asarray(spec.scales, jnp.float32).reshape(L, 1)
 
     acc = pl.pallas_call(
-        _bwd_kernel,
+        _make_bwd_kernel(F, L),
         grid=(L, nblk),
         in_specs=[
             pl.BlockSpec((L, 1), lambda l, i: (0, 0),
@@ -388,7 +410,7 @@ def _grad_table_pallas(spec: HashGridSpec, pos, g, interpret: bool):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((blk, 3), lambda l, i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((blk, 2 * L), lambda l, i: (i, 0),
+            pl.BlockSpec((blk, F * L), lambda l, i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((rows_max, 128), lambda l, i: (l, 0),
@@ -403,37 +425,41 @@ def _grad_table_pallas(spec: HashGridSpec, pos, g, interpret: bool):
     return unpack_slabs(spec, acc, rows_max)
 
 
-@functools.lru_cache(maxsize=8)
-def _corner_select(c: int) -> np.ndarray:
-    """[16, 2] selection: lanes (2c, 2c+1) -> features (0, 1)."""
-    p = np.zeros((16, 2), np.float32)
-    p[2 * c, 0] = 1.0
-    p[2 * c + 1, 1] = 1.0
+@functools.lru_cache(maxsize=64)
+def _corner_select(c: int, F: int) -> np.ndarray:
+    """[8F, F] selection: lanes (cF..cF+F-1) -> features (0..F-1)."""
+    p = np.zeros((8 * F, F), np.float32)
+    for f in range(F):
+        p[c * F + f, f] = 1.0
     return p
 
 
 def unpack_slabs(spec: HashGridSpec, acc, rows_max: int):
     """Kernel accumulator [L*rows_max, 128] -> master grad [n_entries, 2].
 
-    master[e, f] = sum_c slab[(e + off_c) mod E, c*2 + f]: per corner an
-    axis-0 roll of the [E, 16] slab (row shifts only — NO flat-interleaved
-    rolls or [E, 2]-minor intermediates, which cost ~110 ms at NGP scale)
-    and a [16, 2] selection matmul.
+    master[e, f] = sum_c slab[(e + off_c) mod E, c*F + f]: per corner an
+    axis-0 roll of the [E, 8F] slab (row shifts only — NO flat-interleaved
+    rolls or [E, F]-minor intermediates, which cost ~110 ms at NGP scale)
+    and a [8F, F] selection matmul.
     """
+    F = spec.n_features_per_level
+    P = 128 // (8 * F)
     corner_offs = _corner_offsets(spec)
     parts = []
     for lvl in range(spec.n_levels):
         sz = spec.level_sizes[lvl]
-        slab = acc[lvl * rows_max : lvl * rows_max + sz // 8].reshape(sz, 16)
+        slab = acc[lvl * rows_max : lvl * rows_max + sz // P].reshape(
+            sz, 8 * F
+        )
         m = 0.0
         for c in range(8):
             off = int(corner_offs[lvl, c]) % sz
             # adjoint of build_nbr_table's nbr[e] = master[e + off]:
             # master[m] += slab[m - off]  ==  roll(slab, +off)[m]
             rolled = jnp.roll(slab, off, axis=0) if off else slab
-            m = m + jnp.dot(rolled, jnp.asarray(_corner_select(c)),
+            m = m + jnp.dot(rolled, jnp.asarray(_corner_select(c, F)),
                             preferred_element_type=jnp.float32)
-        parts.append(m)  # [E, 2]
+        parts.append(m)  # [E, F]
     return jnp.concatenate(parts, axis=0)
 
 

@@ -20,6 +20,7 @@ def ngp_synthetic_cfg(
     grid_size=128,
     nerf_steps=1024,
     hash_levels=16,
+    hash_features=2,
     log2_hashmap_size=19,
     tot_train_steps=1000,
     fp16=True,
@@ -45,6 +46,7 @@ def ngp_synthetic_cfg(
                 pos_encoder=dict(
                     type="HashEncoder",
                     n_levels=hash_levels,
+                    n_features_per_level=hash_features,
                     log2_hashmap_size=log2_hashmap_size,
                 ),
                 dir_encoder=dict(type="SHEncoder"),

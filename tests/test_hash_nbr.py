@@ -104,3 +104,50 @@ def test_prebuilt_nbr_matches(spec, table, pos):
     out2 = hash_encode_nbr(spec, table, pos, nbr=nbr)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
                                rtol=1e-5, atol=1e-6)
+
+
+class TestF4L8:
+    """F=4 features x 8 levels (NGP paper table 2's alternative config —
+    halves the (sample, level) gather/scatter count at equal encoder
+    output width).  Exercises the F-generalized nbr path end to end."""
+
+    @pytest.fixture()
+    def spec4(self):
+        return HashGridSpec(n_levels=8, n_features_per_level=4,
+                            base_resolution=16, log2_hashmap_size=13)
+
+    def test_adjoint(self, spec4):
+        t = jax.random.normal(jax.random.PRNGKey(0),
+                              (spec4.n_entries, 4), jnp.float32)
+        y = jax.random.normal(jax.random.PRNGKey(2),
+                              (spec4.n_entries, 32), jnp.float32)
+        lhs = jnp.vdot(jnp.concatenate(build_nbr_table(spec4, t), axis=0), y)
+        rhs = jnp.vdot(t, unpack_nbr_grad(spec4, y))
+        # f32 summation-order noise over ~2M products bounds the match
+        np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-3)
+
+    def test_grad_matches_autodiff(self, spec4):
+        from jnerf_tpu.ops.hash_nbr import _encode_from_nbr
+
+        t = jax.random.normal(jax.random.PRNGKey(0),
+                              (spec4.n_entries, 4), jnp.float32) * 0.1
+        p = jax.random.uniform(jax.random.PRNGKey(1), (256, 3), jnp.float32)
+
+        def loss_ref(t):
+            nbr = build_nbr_table(spec4, t)
+            return jnp.sum(jnp.sin(_encode_from_nbr(spec4, nbr, p)))
+
+        def loss_fast(t):
+            return jnp.sum(jnp.sin(hash_encode_nbr(spec4, t, p)))
+
+        g_ref = jax.grad(loss_ref)(t)
+        g_fast = jax.grad(loss_fast)(t)
+        np.testing.assert_allclose(
+            np.asarray(g_fast), np.asarray(g_ref), rtol=5e-2, atol=5e-3
+        )
+
+    def test_out_dim_and_shapes(self, spec4):
+        t = spec4.init_table(jax.random.PRNGKey(0))
+        p = jax.random.uniform(jax.random.PRNGKey(1), (64, 3), jnp.float32)
+        out = hash_encode_nbr(spec4, t, p)
+        assert out.shape == (64, 32)  # F*L = 4*8 = 32, same MLP width
