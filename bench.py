@@ -28,7 +28,7 @@ def main():
     parser.add_argument("--warmup", type=int, default=512)
     parser.add_argument("--steps", type=int, default=256)
     parser.add_argument("--image-size", type=int, default=512)
-    parser.add_argument("--encoder", default="f2l16",
+    parser.add_argument("--encoder", default="f4l8",
                         choices=["f2l16", "f4l8"])
     args = parser.parse_args()
 

@@ -29,14 +29,14 @@ def main():
     ap.add_argument("--hash-indexing", default="linear_rows",
                     choices=["linear_rows", "linear_nbr", "linear_rows_xla",
                              "xor"])
-    ap.add_argument("--encoder", default="f2l16", choices=["f2l16", "f4l8"],
+    ap.add_argument("--encoder", default="f4l8", choices=["f2l16", "f4l8"],
                     help="hash-grid shape: reference 16x2 or the TPU "
                          "alternative 8 levels x 4 features (half the "
                          "gather/scatter count, same output width)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--tiny", action="store_true",
                     help="harness smoke test: tiny scene/model (CPU-speed)")
-    ap.add_argument("--warmup-steps", type=int, default=48,
+    ap.add_argument("--warmup-steps", type=int, default=256,
                     help="steps (and one grid refresh) excluded from the "
                          "budget to absorb XLA compiles")
     args = ap.parse_args()
