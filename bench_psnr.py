@@ -72,28 +72,17 @@ def main():
     runner = Runner()
     freq = runner.sampler.update_den_freq
 
-    def steps(i0, n):
-        loss = None
-        for i in range(i0, i0 + n):
-            runner.cfg.m_training_step = i
-            runner.key, k_step, k_grid = jax.random.split(runner.key, 3)
-            if i % freq == 0:
-                runner._update_grid(i, k_grid)
-            loss = runner._train_step(k_step)
-            if i % freq == freq - 1:
-                runner.sampler.update_batch_rays()
-        return i + 1, loss
-
     # Warmup outside the budget: the reference's 5-minute budget does not
     # pay nvcc JIT either (its kernels ship precompiled).
-    i, loss = steps(0, args.warmup_steps)
-    loss.block_until_ready()
+    loss = runner.train_range(0, args.warmup_steps)
+    float(jax.device_get(loss))
 
+    i = args.warmup_steps
     t0 = time.perf_counter()
-    window = freq
     while time.perf_counter() - t0 < args.budget_s:
-        i, loss = steps(i, window)
-        loss.block_until_ready()
+        loss = runner.train_range(i, i + freq)
+        float(jax.device_get(loss))
+        i += freq
     elapsed = time.perf_counter() - t0
     iters = i - args.warmup_steps
 
@@ -104,12 +93,25 @@ def main():
         psnrs.append(float(mse2psnr(img2mse(
             np.asarray(img, np.float32), np.asarray(tar, np.float32)))))
 
+    # vs_baseline is the fraction of the MEASURED convergence ceiling for
+    # this scene/config (PARITY.md "scene ceiling"; recorded by
+    # tools/ceiling_run.py into logs/ceiling.json).  Dividing a synthetic-
+    # scene PSNR by lego's 36.41 would be a category error (VERDICT r2) —
+    # if no ceiling has been measured yet, vs_baseline is null.
+    ceiling = None
+    ceiling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "logs", "ceiling.json")
+    if os.path.exists(ceiling_path):
+        with open(ceiling_path) as f:
+            ceiling = json.load(f).get("psnr_ceiling")
+    mean_psnr = float(np.mean(psnrs))
     result = {
         "metric": "ngp_psnr_at_budget",
-        "value": round(float(np.mean(psnrs)), 2),
+        "value": round(mean_psnr, 2),
         "unit": "dB",
-        "vs_baseline": round(float(np.mean(psnrs)) / 36.41, 3),
+        "vs_baseline": (round(mean_psnr / ceiling, 3) if ceiling else None),
         "extra": {
+            "psnr_ceiling": ceiling,
             "budget_s": args.budget_s,
             "iters": iters,
             "iters_per_s": round(iters / elapsed, 2),

@@ -5,10 +5,15 @@ Parity target: `/root/reference/python/jnerf/models/networks/ngp_network.py`
 ``[rgb_raw, sigma_raw]`` 4-wide; ``density()`` exposes the sigma head for
 occupancy-grid updates).
 
-TPU-first: instead of the prebuilt tensor-core ``FullyFusedMlp`` object file
-(`fully_fused_mlp.py:25,84`), matmuls run in bf16 on the MXU with fp32
-accumulation, batched over the whole sample buffer; a Pallas fused-MLP path
-can swap in underneath without changing this interface.
+TPU-first: the reference gates its tensor-core fully-fused MLP on
+``use_fully`` + sm>=75 (`ngp_network.py:49-67`, kernels shipped as a
+prebuilt ``.o``).  Here ``use_fully`` gates the Pallas fused kernel
+(`jnerf_tpu/ops/fused_mlp.py`): the whole density+RGB chain runs in one
+kernel with VMEM-resident weights, bf16 on the MXU, fp32 accumulation.
+Geometry off the fused shape (64-wide, 32-dim encode, 16-dim SH) or
+batches not divisible by the kernel block fall back to the XLA bf16 dot
+chain (`models/networks/mlp.py`) — the analog of the reference's
+``jt.nn.Linear`` fallback on old GPUs.
 """
 
 from __future__ import annotations
@@ -43,6 +48,21 @@ class NGPNetworks:
         self.dir_encoder.compute_dtype = self.compute_dtype
         self.density_dims = [self.pos_encoder.out_dim] + [density_n_neurons] * density_hidden_layer + [16]
         self.rgb_dims = [self.dir_encoder.out_dim + 16] + [rgb_n_neurons] * rgb_hidden_layer + [3]
+        from jnerf_tpu.ops import fused_mlp as _fm
+
+        self._fused_ok = bool(
+            use_fully
+            and self.compute_dtype == jnp.bfloat16
+            and self.density_dims == [_fm.D_IN, _fm.D_HID, _fm.D_GEO]
+            and self.rgb_dims == [_fm.RGB_IN, _fm.D_HID, _fm.D_HID, 3]
+            and self.dir_encoder.out_dim == _fm.SH_DIM
+        )
+
+    @staticmethod
+    def _mlp_weights(params):
+        return tuple(p["w"] for p in params["density_mlp"]) + tuple(
+            p["w"] for p in params["rgb_mlp"]
+        )
 
     def init(self, key):
         k_pos, k_dir, k_den, k_rgb = jax.random.split(key, 4)
@@ -63,6 +83,12 @@ class NGPNetworks:
         """[N,3] warped pos, [N,3] warped dirs -> [N,4] raw (rgb, sigma)."""
         dir_feat = self.dir_encoder(params["dir_encoder"], dirs)
         pos_feat = self._encode_pos(params, pos, packed)
+        from jnerf_tpu.ops import fused_mlp as _fm
+
+        if self._fused_ok and pos_feat.shape[0] % _fm._BLK == 0:
+            return _fm.fused_ngp_mlp(
+                self._mlp_weights(params), pos_feat, dir_feat
+            )
         density = apply_mlp(params["density_mlp"], pos_feat, self.compute_dtype)
         h = jnp.concatenate(
             [density.astype(self.compute_dtype), dir_feat.astype(self.compute_dtype)],
@@ -74,6 +100,11 @@ class NGPNetworks:
     def density(self, params, pos, packed=None):
         """[N,3] warped pos -> [N,1] raw sigma (pre-activation)."""
         feat = self._encode_pos(params, pos, packed)
+        from jnerf_tpu.ops import fused_mlp as _fm
+
+        if self._fused_ok and feat.shape[0] % _fm._BLK == 0:
+            w = params["density_mlp"]
+            return _fm.fused_density_mlp(w[0]["w"], w[1]["w"], feat)
         out = apply_mlp(params["density_mlp"], feat, self.compute_dtype)
         return out[:, :1].astype(jnp.float32)
 

@@ -7,6 +7,12 @@ schema, same validation cadence.  TPU-first internals:
 - the whole step (pixel sampling -> ray march -> model -> composite -> loss
   -> Adam -> EMA) is ONE jitted function with donated state; the only
   per-step Python is the dispatch;
+- steps between grid refreshes are CHAINED inside one jitted
+  ``lax.scan`` window (`_train_window`): shapes are identical within a
+  refresh window, so one dispatch drives ``update_den_freq`` steps.  On
+  this harness a dispatch costs ~58 ms of host wall (measured round 2,
+  docs/DESIGN.md) — per-step dispatch alone would cap training at ~17
+  it/s no matter how fast the chip is;
 - the density-grid refresh is a second jitted function invoked every
   ``update_den_freq`` steps, like the reference's cadence
   (`density_grid_sampler.py:138-139`);
@@ -93,6 +99,7 @@ class Runner:
         self.W, self.H = int(self.image_resolutions[0]), int(self.image_resolutions[1])
 
         self._train_step_cache = {}
+        self._train_window_cache = {}
         self._grid_update_cache = {}
         self._render_chunk_cache = {}
         self.render_chunk_rays = 4096
@@ -115,6 +122,10 @@ class Runner:
         }
 
     def _build_train_step(self, n_rays: int, n_samples: int):
+        return jax.jit(self._step_fn_body(n_rays, n_samples),
+                       donate_argnums=(0, 1, 2, 3))
+
+    def _step_fn_body(self, n_rays: int, n_samples: int):
         model, sampler, loss_obj = self.model, self.sampler, self.loss_func
         dataset = self.dataset["train"]
         n_pixels = dataset.n_images * dataset.H * dataset.W
@@ -169,7 +180,7 @@ class Runner:
             )
             return params, opt_state, ema_state, grid_state, loss
 
-        return jax.jit(step_fn, donate_argnums=(0, 1, 2, 3))
+        return step_fn
 
     @staticmethod
     def _retry_transient(fn, *args, attempts=3):
@@ -205,6 +216,71 @@ class Runner:
         )
         return loss
 
+    # ------------------------------------------------------- window training
+    def _build_train_window(self, n_rays: int, n_samples: int, length: int):
+        """jit of `length` chained train steps (lax.scan).
+
+        One dispatch per refresh window instead of per step: host dispatch
+        on this harness costs ~58 ms/call, which alone caps per-step
+        dispatch at ~17 it/s.  Shapes are constant within a window (batch
+        adaptation only runs at window boundaries), so the scanned body is
+        exactly the single-step program.
+        """
+        step_fn = self._step_fn_body(n_rays, n_samples)
+
+        def window_fn(params, opt_state, ema_state, grid_state, data, keys):
+            def body(carry, k):
+                p, o, e, g = carry
+                p, o, e, g, loss = step_fn(p, o, e, g, data, k)
+                return (p, o, e, g), loss
+
+            (p, o, e, g), losses = jax.lax.scan(
+                body, (params, opt_state, ema_state, grid_state), keys,
+                length=length,
+            )
+            return p, o, e, g, losses[-1]
+
+        return jax.jit(window_fn, donate_argnums=(0, 1, 2, 3))
+
+    def _train_window(self, keys):
+        """Run len(keys) steps in one dispatch; mutates runner state."""
+        shape = (self.sampler.n_rays_per_batch, self.sampler.n_samples_per_ray,
+                 len(keys))
+        if shape not in self._train_window_cache:
+            self._train_window_cache[shape] = self._build_train_window(*shape)
+        (self.params, self.opt_state, self.ema_state, self.sampler.state,
+         loss) = self._retry_transient(
+            self._train_window_cache[shape],
+            self.params, self.opt_state, self.ema_state, self.sampler.state,
+            self._train_data(), keys,
+        )
+        return loss
+
+    def train_range(self, start: int, end: int, tick=None):
+        """Train steps [start, end) with windowed dispatch + grid refreshes.
+
+        Matches the per-step loop's schedule exactly: refresh when
+        i % update_den_freq == 0, batch-shape adaptation at window ends.
+        `tick(n_steps, n_rays, n_samples)` is called once per window.
+        """
+        freq = self.sampler.update_den_freq
+        loss = None
+        i = start
+        while i < end:
+            n = min(freq - (i % freq), end - i)
+            self.cfg.m_training_step = i
+            self.key, k_grid, k_win = jax.random.split(self.key, 3)
+            if i % freq == 0:
+                self._update_grid(i, k_grid)
+            loss = self._train_window(jax.random.split(k_win, n))
+            if tick is not None:
+                tick(n, self.sampler.n_rays_per_batch,
+                     self.sampler.n_samples_per_ray)
+            i += n
+            if i % freq == 0:
+                self.sampler.update_batch_rays()
+        return loss
+
     def _update_grid(self, step: int, key):
         n_u, n_n = self.sampler.grid_update_counts(step)
         sig = (n_u, n_n, step == 0)
@@ -226,25 +302,26 @@ class Runner:
         from jnerf_tpu.utils.metrics import ThroughputMeter
 
         meter = ThroughputMeter(window=256)
-        freq = self.sampler.update_den_freq
-        for i in tqdm(range(self.start, self.tot_train_steps)):
-            self.cfg.m_training_step = i
-            self.key, k_step, k_grid = jax.random.split(self.key, 3)
-            if i % freq == 0:
-                self._update_grid(i, k_grid)
-            loss = self._train_step(k_step)
-            meter.tick(
-                n_rays=self.sampler.n_rays_per_batch,
-                n_samples=self.sampler.n_rays_per_batch
-                * self.sampler.n_samples_per_ray,
-            )
-            if i % freq == freq - 1:
-                self.sampler.update_batch_rays()
-            if i > 0 and i % self.val_freq == 0:
+        bar = tqdm(total=self.tot_train_steps - self.start)
+
+        def tick(n, n_rays, n_samples_per_ray):
+            bar.update(n)
+            for _ in range(n):
+                meter.tick(n_rays=n_rays,
+                           n_samples=n_rays * n_samples_per_ray)
+
+        i = self.start
+        while i < self.tot_train_steps:
+            seg_end = min(self.tot_train_steps,
+                          (i // self.val_freq + 1) * self.val_freq)
+            loss = self.train_range(i, seg_end, tick=tick)
+            i = seg_end
+            if i % self.val_freq == 0 and i < self.tot_train_steps:
                 psnr = mse2psnr(self.val_img(i))
                 print(f"STEP={i} | LOSS={float(jax.device_get(loss)):.5f} | "
                       f"VAL PSNR={float(jax.device_get(psnr)):.3f} | "
                       f"{meter.summary()}")
+        bar.close()
         self.save_ckpt(os.path.join(self.save_path, "params.pkl"))
         self.test()
 

@@ -25,6 +25,7 @@ def ngp_synthetic_cfg(
     tot_train_steps=1000,
     fp16=True,
     seed=42,
+    use_fully=True,
 ) -> Config:
     """Install and return the global config for a synthetic NGP run."""
     cfg = get_cfg()
@@ -51,7 +52,7 @@ def ngp_synthetic_cfg(
                 ),
                 dir_encoder=dict(type="SHEncoder"),
             ),
-            model=dict(type="NGPNetworks", use_fully=True),
+            model=dict(type="NGPNetworks", use_fully=use_fully),
             loss=dict(type="HuberLoss", delta=0.1),
             optim=dict(type="Adam", lr=1e-1, eps=1e-15, betas=(0.9, 0.99)),
             ema=dict(type="EMA", decay=0.95),
