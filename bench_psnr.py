@@ -25,6 +25,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--budget-s", type=float, default=300.0)
+    ap.add_argument("--iters", type=int, default=0,
+                    help="if >0, train exactly this many iterations instead "
+                         "of a wallclock budget (equal-iteration A/Bs)")
     ap.add_argument("--image-size", type=int, default=512)
     ap.add_argument("--hash-indexing", default="linear_rows",
                     choices=["linear_rows", "linear_nbr", "linear_rows_xla",
@@ -33,6 +36,10 @@ def main():
                     help="hash-grid shape: reference 16x2 or the TPU "
                          "alternative 8 levels x 4 features (half the "
                          "gather/scatter count, same output width)")
+    ap.add_argument("--fast-cap", type=int, default=0,
+                    help="hashed-level table cap in entries (0 = shipped "
+                         "default of ~2^18; set 524288 for the reference's "
+                         "uncapped 2^19 — the cap-deviation A/B)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--tiny", action="store_true",
                     help="harness smoke test: tiny scene/model (CPU-speed)")
@@ -69,6 +76,8 @@ def main():
             **enc,
         )
     cfg.hash_indexing = args.hash_indexing
+    if args.fast_cap:
+        cfg.hashmap_fast_cap = args.fast_cap
     runner = Runner()
     freq = runner.sampler.update_den_freq
 
@@ -79,10 +88,15 @@ def main():
 
     i = args.warmup_steps
     t0 = time.perf_counter()
-    while time.perf_counter() - t0 < args.budget_s:
-        loss = runner.train_range(i, i + freq)
+    if args.iters:
+        loss = runner.train_range(i, i + args.iters)
         float(jax.device_get(loss))
-        i += freq
+        i += args.iters
+    else:
+        while time.perf_counter() - t0 < args.budget_s:
+            loss = runner.train_range(i, i + freq)
+            float(jax.device_get(loss))
+            i += freq
     elapsed = time.perf_counter() - t0
     iters = i - args.warmup_steps
 
@@ -112,11 +126,12 @@ def main():
         "vs_baseline": (round(mean_psnr / ceiling, 3) if ceiling else None),
         "extra": {
             "psnr_ceiling": ceiling,
-            "budget_s": args.budget_s,
+            "budget_s": (None if args.iters else args.budget_s),
             "iters": iters,
             "iters_per_s": round(iters / elapsed, 2),
             "hash_indexing": args.hash_indexing,
             "encoder": args.encoder,
+            "fast_cap": args.fast_cap or None,
             "per_view_psnr": [round(p, 2) for p in psnrs],
             "scene": ("synthetic-spheres-tiny" if args.tiny else
                       f"synthetic-spheres-{args.image_size}") +

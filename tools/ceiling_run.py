@@ -1,0 +1,94 @@
+"""Measure the synthetic-spheres scene's convergence ceiling (VERDICT r2 #2).
+
+Trains the flagship config (f2l16, shipped defaults) far past the 5-minute
+budget — 40k+ steps, the reference's full `tot_train_steps`
+(`ngp_base.py:55`) — and records the converged held-out PSNR as the scene
+ceiling in `logs/ceiling.json`.  bench_psnr.py then reports PSNR@budget as
+a fraction of this ceiling, the analog of the reference's 36.41-of-36.x on
+lego (`README.md:112-121`).
+
+The PSNR trajectory is recorded at every eval so plateau-ness is auditable
+(a ceiling claimed from a still-rising curve is not a ceiling).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=40_000)
+    ap.add_argument("--eval-every", type=int, default=4096)
+    ap.add_argument("--image-size", type=int, default=512)
+    ap.add_argument("--encoder", default="f2l16", choices=["f2l16", "f4l8"])
+    ap.add_argument("--out", default=None,
+                    help="json path (default logs/ceiling.json for f2l16, "
+                         "logs/ceiling_<encoder>.json otherwise)")
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+
+    from jnerf_tpu.models.losses import img2mse, mse2psnr
+    from jnerf_tpu.runner import Runner
+    from jnerf_tpu.utils.bench_cfg import ngp_synthetic_cfg
+
+    enc = (dict(hash_levels=8, hash_features=4)
+           if args.encoder == "f4l8" else {})
+    ngp_synthetic_cfg(
+        n_images=16, H=args.image_size, W=args.image_size,
+        tot_train_steps=args.steps, **enc,
+    )
+    runner = Runner()
+
+    def eval_psnr():
+        ps = []
+        for img_id in range(min(4, runner.dataset["val"].n_images)):
+            img, _a, tar = runner.render_img(dataset_mode="val", img_id=img_id)
+            ps.append(float(mse2psnr(img2mse(
+                np.asarray(img, np.float32), np.asarray(tar, np.float32)))))
+        return float(np.mean(ps)), [round(p, 2) for p in ps]
+
+    t0 = time.perf_counter()
+    trajectory = []
+    i = 0
+    while i < args.steps:
+        nxt = min(args.steps, i + args.eval_every)
+        loss = runner.train_range(i, nxt)
+        float(jax.device_get(loss))
+        i = nxt
+        psnr, per_view = eval_psnr()
+        trajectory.append({"iters": i, "psnr": round(psnr, 3),
+                           "elapsed_s": round(time.perf_counter() - t0, 1)})
+        print(f"[ceiling] iters={i} psnr={psnr:.3f} "
+              f"({time.perf_counter() - t0:.0f}s)", flush=True)
+
+    final_psnr, per_view = eval_psnr()
+    out_path = args.out or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "logs",
+        "ceiling.json" if args.encoder == "f2l16"
+        else f"ceiling_{args.encoder}.json",
+    )
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    result = {
+        "psnr_ceiling": round(final_psnr, 2),
+        "per_view_psnr": per_view,
+        "iters": args.steps,
+        "encoder": args.encoder,
+        "scene": f"synthetic-spheres-{args.image_size}",
+        "trajectory": trajectory,
+        "elapsed_s": round(time.perf_counter() - t0, 1),
+        "backend": jax.default_backend(),
+    }
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps({k: v for k, v in result.items() if k != "trajectory"}))
+
+
+if __name__ == "__main__":
+    main()
