@@ -180,6 +180,24 @@ class DensityGridSampler:
         """Pure/jittable grid refresh (`update_density_grid_nerf`, :204-250).
 
         Static args: sample counts + whether this is the step-0 variant.
+
+        Two modes (cfg.grid_update_mode):
+
+        - 'sweep' (default, TPU-first): one jittered density sample in EVERY
+          cell of an alternating half of each active cascade per refresh
+          (full grid on the step-0 refresh).  The reference's cell-sampling
+          machinery exists because on a GPU the 10-try hash probe and the
+          atomicMax splat are near-free; on TPU they are the EXPENSIVE part
+          (~10 element-gathers per sampled cell at ~8 ns each + a 15 ns/row
+          scatter-max) while the density sweep itself is cheap vectorized
+          gathers.  The dense half-sweep needs zero probes and zero
+          scatters (cells are a contiguous slab -> dynamic_update_slice)
+          and refreshes every cell at least every 2nd refresh — strictly
+          denser coverage than the reference's 1/4-uniform + 1/4-nonuniform
+          sampling.  The decay-max EMA semantics per cell are unchanged.
+        - 'probe': the reference-faithful sampled path
+          (`generate_grid_samples_nerf_nonuniform.h` probe sequence +
+          max-splat), kept for parity testing.
         """
         g = self.grid_config
         grid = state["density_grid"]
@@ -190,6 +208,8 @@ class DensityGridSampler:
                 self.dataset.resolution,
                 g,
             )
+        if (self.cfg.grid_update_mode or "sweep") == "sweep":
+            return self._sweep_refresh(params, state, grid, key, first_step)
 
         k_u, k_n = jax.random.split(key)
         idx_parts, comp_parts = [], []
@@ -217,13 +237,29 @@ class DensityGridSampler:
             axis=-1,
         )
 
-        # Chunked density queries bound peak HBM (the reference blocks at
-        # update_block_size=5e6, `density_grid_sampler.py:229-238`; our
-        # hash-encode intermediates are [chunk*levels, 128] so we block much
-        # smaller).  lax.map forces sequential execution with buffer reuse
-        # (a python chunk loop lets XLA keep every chunk's 2 GB of gather
-        # temporaries live at once — observed HBM OOM); the packed hash
-        # table is hoisted out so it builds once, not per chunk.
+        raw = self._chunked_density(params, warped)
+
+        grid_tmp = jnp.zeros_like(grid)
+        grid_tmp = splat_density(indices, raw, grid_tmp, g)
+        grid = ema_grid_update(grid, grid_tmp, g)
+        mean = density_grid_mean(grid, g)
+        bitfield = update_bitfield(grid, mean, g)
+        return {
+            "density_grid": grid,
+            "bitfield": bitfield,
+            "mean": mean,
+            "ema_step": state["ema_step"] + 1,
+            "measured_batch_size": state["measured_batch_size"],
+        }
+
+    def _chunked_density(self, params, warped):
+        """Chunked density queries bound peak HBM (the reference blocks at
+        update_block_size=5e6, `density_grid_sampler.py:229-238`; our
+        hash-encode intermediates are [chunk*levels, 128] so we block much
+        smaller).  lax.map forces sequential execution with buffer reuse
+        (a python chunk loop lets XLA keep every chunk's 2 GB of gather
+        temporaries live at once — observed HBM OOM); the packed hash
+        table is hoisted out so it builds once, not per chunk."""
         n_total = warped.shape[0]
         chunk = min(n_total, 1 << 17)
         packed = (
@@ -235,16 +271,62 @@ class DensityGridSampler:
         else:
             density_fn = lambda p: self.model.density(params, p)
         if n_total % chunk == 0 and n_total // chunk > 1:
-            raw = jax.lax.map(
+            return jax.lax.map(
                 lambda p: density_fn(p)[:, 0],
                 warped.reshape(n_total // chunk, chunk, 3),
             ).reshape(-1)
-        else:
-            raw = density_fn(warped)[:, 0]
+        return density_fn(warped)[:, 0]
 
-        grid_tmp = jnp.zeros_like(grid)
-        grid_tmp = splat_density(indices, raw, grid_tmp, g)
-        grid = ema_grid_update(grid, grid_tmp, g)
+    def _sweep_refresh(self, params, state, grid, key, first_step: bool):
+        """Dense alternating-half refresh (see update_density_grid_fn).
+
+        Sweeps cells [base, base + n_sweep) of every active cascade's
+        x-major flat order — a contiguous slab, so the write-back is a
+        dynamic_update_slice, not a scatter.  base alternates by ema_step
+        parity; the step-0 refresh sweeps the full grid like the
+        reference's all-cells uniform pass.
+        """
+        g = self.grid_config
+        gs = g.grid_size
+        n_casc = g.max_cascade + 1
+        n_sweep = g.n_cells if first_step else g.n_cells // 2
+        base = (
+            jnp.zeros((), jnp.int32) if first_step
+            else (state["ema_step"] % 2) * jnp.int32(g.n_cells // 2)
+        )
+
+        lin = jnp.arange(n_sweep, dtype=jnp.int32) + base
+        cx = lin // (gs * gs)
+        cy = (lin // gs) % gs
+        cz = lin % gs
+
+        parts = []
+        keys = jax.random.split(key, 3 * n_casc)
+        for c in range(n_casc):
+            mip_scale = float(2.0 ** c)
+
+            def world(comp, k):
+                u = jax.random.uniform(k, (n_sweep,))
+                return (
+                    (comp.astype(jnp.float32) + u) / gs - 0.5
+                ) * mip_scale + 0.5
+
+            parts.append(jnp.stack(
+                [world(comp, keys[3 * c + d])
+                 for d, comp in enumerate((cx, cy, cz))], axis=-1))
+        world_pos = jnp.concatenate(parts, axis=0)  # [n_casc * n_sweep, 3]
+        warped = (world_pos - g.aabb_min) / g.aabb_diag
+
+        raw = self._chunked_density(params, warped)
+        thickness = jnp.exp(raw) * g.stepsize
+
+        flat_tmp = jnp.zeros((grid.size,), jnp.float32)
+        for c in range(n_casc):
+            flat_tmp = jax.lax.dynamic_update_slice_in_dim(
+                flat_tmp, thickness[c * n_sweep:(c + 1) * n_sweep],
+                c * g.n_cells + base, axis=0,
+            )
+        grid = ema_grid_update(grid, flat_tmp.reshape(grid.shape), g)
         mean = density_grid_mean(grid, g)
         bitfield = update_bitfield(grid, mean, g)
         return {

@@ -297,8 +297,13 @@ def _sample_blk(n: int) -> int:
     return blk
 
 
+# Scatter-loop strategy (A/B-able via tools/probe_bwd_var.py): run-combined
+# is the default; the plain per-sample RMW loop is kept for measurement.
+RUN_COMBINE = True
+
+
 @functools.lru_cache(maxsize=16)
-def _make_bwd_kernel(F: int, L: int):
+def _make_bwd_kernel(F: int, L: int, combine: bool = True):
     """Kernel factory: one (level, sample-block) cell builds [BLK,128]
     values and RMW-scatters them.
 
@@ -369,35 +374,46 @@ def _make_bwd_kernel(F: int, L: int):
         S = ((lane >> log2w) == slot).astype(jnp.float32)
         vals_ref[:] = X * Y * Z * G * S
 
-        # Run-combined scatter: accumulate the current run in acc_ref
-        # (static address), flush to out_ref (dynamic address) on change.
-        prev_ref[0] = rows_ref[0, 0, 0]
-        acc_ref[0:1, :] = jnp.zeros_like(acc_ref[0:1, :])
-        unroll = 8
-
-        def body(j, _):
-            base = j * unroll
-            for u in range(unroll):
-                r = rows_ref[0, 0, base + u]
-                v = vals_ref[pl.ds(base + u, 1), :]
-                same = r == prev_ref[0]
-
-                @pl.when(same)
-                def _():
-                    acc_ref[0:1, :] += v
-
-                @pl.when(jnp.logical_not(same))
-                def _():
-                    out_ref[pl.ds(prev_ref[0], 1), :] += acc_ref[0:1, :]
-                    acc_ref[0:1, :] = v
-                    prev_ref[0] = r
-            return 0
-
         blk = vals_ref.shape[0]
-        lax.fori_loop(0, blk // unroll, body, 0, unroll=1)
-        # Flush the block's trailing run (block boundaries may split a run
-        # across grid cells; the adds are associative so that is fine).
-        out_ref[pl.ds(prev_ref[0], 1), :] += acc_ref[0:1, :]
+        unroll = 8
+        if combine:
+            # Run-combined scatter: accumulate the current run in acc_ref
+            # (static address), flush to out_ref (dynamic address) on change.
+            prev_ref[0] = rows_ref[0, 0, 0]
+            acc_ref[0:1, :] = jnp.zeros_like(acc_ref[0:1, :])
+
+            def body(j, _):
+                base = j * unroll
+                for u in range(unroll):
+                    r = rows_ref[0, 0, base + u]
+                    v = vals_ref[pl.ds(base + u, 1), :]
+                    same = r == prev_ref[0]
+
+                    @pl.when(same)
+                    def _():
+                        acc_ref[0:1, :] += v
+
+                    @pl.when(jnp.logical_not(same))
+                    def _():
+                        out_ref[pl.ds(prev_ref[0], 1), :] += acc_ref[0:1, :]
+                        acc_ref[0:1, :] = v
+                        prev_ref[0] = r
+                return 0
+
+            lax.fori_loop(0, blk // unroll, body, 0, unroll=1)
+            # Flush the block's trailing run (block boundaries may split a
+            # run across grid cells; the adds are associative so that is
+            # fine).
+            out_ref[pl.ds(prev_ref[0], 1), :] += acc_ref[0:1, :]
+        else:
+            def body(j, _):
+                base = j * unroll
+                for u in range(unroll):
+                    r = rows_ref[0, 0, base + u]
+                    out_ref[pl.ds(r, 1), :] += vals_ref[pl.ds(base + u, 1), :]
+                return 0
+
+            lax.fori_loop(0, blk // unroll, body, 0, unroll=1)
 
     return kern
 
@@ -425,7 +441,7 @@ def _grad_table_pallas(spec: HashGridSpec, pos, g, interpret: bool):
     scales = jnp.asarray(spec.scales, jnp.float32).reshape(L, 1)
 
     acc = pl.pallas_call(
-        _make_bwd_kernel(F, L),
+        _make_bwd_kernel(F, L, RUN_COMBINE),
         grid=(L, nblk),
         in_specs=[
             pl.BlockSpec((L, 1), lambda l, i: (0, 0),

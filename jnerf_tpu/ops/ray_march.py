@@ -184,12 +184,17 @@ def _first_s_indices(occ, s: int):
     """For each row of occ [R, K], indices of the first s True entries.
 
     Returns (idx [R, s] clamped to K-1, count [R]).  Uses the monotone
-    per-row cumsum + searchsorted trick — gathers only, no scatters.
+    per-row cumsum, then `searchsorted_left(cum, t) == #(cum < t)` — the
+    count form is a pure broadcast-compare + lane reduction, where the
+    vmapped binary search it replaces lowered to element-gather loops
+    (~24 ns/access on this chip, several ms at bench scale).
     """
     cum = jnp.cumsum(occ.astype(jnp.int32), axis=1)  # [R, K]
     count = cum[:, -1]
     targets = jnp.arange(1, s + 1, dtype=jnp.int32)
-    idx = jax.vmap(lambda row: jnp.searchsorted(row, targets, side="left"))(cum)
+    idx = jnp.sum(
+        (cum[:, None, :] < targets[None, :, None]).astype(jnp.int32), axis=2
+    )  # [R, s]
     return jnp.minimum(idx, occ.shape[1] - 1), count
 
 

@@ -283,6 +283,8 @@ class Runner:
 
     def _update_grid(self, step: int, key):
         n_u, n_n = self.sampler.grid_update_counts(step)
+        if (self.cfg.grid_update_mode or "sweep") == "sweep":
+            n_u = n_n = 0  # sweep mode ignores sample counts: one program
         sig = (n_u, n_n, step == 0)
         if sig not in self._grid_update_cache:
             self._grid_update_cache[sig] = jax.jit(
