@@ -98,13 +98,14 @@ class NGPNetworks:
         return jnp.concatenate([rgb, density[..., :1]], axis=-1).astype(jnp.float32)
 
     def density(self, params, pos, packed=None):
-        """[N,3] warped pos -> [N,1] raw sigma (pre-activation)."""
-        feat = self._encode_pos(params, pos, packed)
-        from jnerf_tpu.ops import fused_mlp as _fm
+        """[N,3] warped pos -> [N,1] raw sigma (pre-activation).
 
-        if self._fused_ok and feat.shape[0] % _fm._BLK == 0:
-            w = params["density_mlp"]
-            return _fm.fused_density_mlp(w[0]["w"], w[1]["w"], feat)
+        Uses the XLA dot chain, not the fused kernel: measured on the bench
+        chip the density-only Pallas kernel's 1-lane output writes make it
+        ~3x slower than XLA here (12 vs ~3.5 ms per 1M points, round-3
+        ledger) — the fused kernel's win case is the full two-MLP chain.
+        """
+        feat = self._encode_pos(params, pos, packed)
         out = apply_mlp(params["density_mlp"], feat, self.compute_dtype)
         return out[:, :1].astype(jnp.float32)
 

@@ -90,6 +90,13 @@ class DensityGridSampler:
         # spike (fully-occupied grid wants ~1024/ray) resolves itself once
         # the grid prunes; truncation is handled by the bg compositing.
         self.max_samples_per_ray = min(256, self.march_config.n_candidates)
+        # Bitfield pooling bound: const-dt marching never probes cascades
+        # past max_cascade+1 (see ops.occupancy.update_bitfield).
+        self._pool_hi = (
+            min(self.grid_config.n_cascades - 1,
+                self.grid_config.max_cascade + 1)
+            if self.const_dt else None
+        )
         self.n_samples_per_ray = self._samples_for_rays(self.n_rays_per_batch)
         self.inference_samples_per_ray = min(256, self.march_config.n_candidates)
 
@@ -243,7 +250,7 @@ class DensityGridSampler:
         grid_tmp = splat_density(indices, raw, grid_tmp, g)
         grid = ema_grid_update(grid, grid_tmp, g)
         mean = density_grid_mean(grid, g)
-        bitfield = update_bitfield(grid, mean, g)
+        bitfield = update_bitfield(grid, mean, g, self._pool_hi)
         return {
             "density_grid": grid,
             "bitfield": bitfield,
@@ -328,7 +335,7 @@ class DensityGridSampler:
             )
         grid = ema_grid_update(grid, flat_tmp.reshape(grid.shape), g)
         mean = density_grid_mean(grid, g)
-        bitfield = update_bitfield(grid, mean, g)
+        bitfield = update_bitfield(grid, mean, g, self._pool_hi)
         return {
             "density_grid": grid,
             "bitfield": bitfield,

@@ -297,9 +297,13 @@ def _sample_blk(n: int) -> int:
     return blk
 
 
-# Scatter-loop strategy (A/B-able via tools/probe_bwd_var.py): run-combined
-# is the default; the plain per-sample RMW loop is kept for measurement.
-RUN_COMBINE = True
+# Scatter-loop strategy. Run-combining (accumulate equal-row runs in a
+# static-address scratch, flush on change) MEASURED 2.6x SLOWER than the
+# plain per-sample RMW loop on the bench chip (~26 vs ~10 ns/row, round 3):
+# the two predicated regions per sample and the serial dependence through
+# prev/acc cost more than the dynamic-addressed RMWs they save.  Kept
+# behind this flag for measurement; default is the plain loop.
+RUN_COMBINE = False
 
 
 @functools.lru_cache(maxsize=16)

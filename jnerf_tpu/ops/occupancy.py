@@ -265,24 +265,39 @@ def density_grid_mean(grid, cfg: GridConfig):
     return jnp.mean(jax.nn.relu(grid[0]))
 
 
-def update_bitfield(grid, mean, cfg: GridConfig):
+def update_bitfield(grid, mean, cfg: GridConfig, pool_hi=None):
     """Threshold the grid into the occupancy bitfield + cascade max-pool.
 
     `update_bitfield.h:23-69`: bit = density > min(0.01, mean); then each
     coarser cascade's center octant ORs in the 2x max-pool of the finer one.
     Returns [C, G, G, G] bool.
+
+    pool_hi bounds the pooling chain to the cascades the march can
+    actually probe: under const-dt marching mip_from_pos caps at
+    max_cascade (+1 at the cascade boundary) and the dt-based bump
+    (`ray_sampler_header.h:67-77`) never fires (d < 1), so pooling the
+    remaining cascades writes bits no lookup reads (measured 11.3 ms per
+    refresh at bench scale for the full 5-cascade chain).  None = full
+    chain (required for cone-angle marching, whose dt growth can probe
+    any cascade).
     """
     g = cfg.grid_size
     thresh = jnp.minimum(cfg.min_optical_thickness, mean)
     bits = grid > thresh  # [C, G, G, G]
 
+    if pool_hi is None:
+        pool_hi = cfg.n_cascades - 1
+
     q = g // 4
     levels = [bits[0]]
     for level in range(1, cfg.n_cascades):
-        prev = levels[-1]
-        pooled = prev.reshape(g // 2, 2, g // 2, 2, g // 2, 2).any(axis=(1, 3, 5))
         cur = bits[level]
-        center = cur[q : 3 * q, q : 3 * q, q : 3 * q] | pooled
-        cur = cur.at[q : 3 * q, q : 3 * q, q : 3 * q].set(center)
+        if level <= pool_hi:
+            prev = levels[-1]
+            pooled = prev.reshape(
+                g // 2, 2, g // 2, 2, g // 2, 2
+            ).any(axis=(1, 3, 5))
+            center = cur[q : 3 * q, q : 3 * q, q : 3 * q] | pooled
+            cur = cur.at[q : 3 * q, q : 3 * q, q : 3 * q].set(center)
         levels.append(cur)
     return jnp.stack(levels, axis=0)
