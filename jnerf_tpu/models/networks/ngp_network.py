@@ -50,8 +50,16 @@ class NGPNetworks:
         self.rgb_dims = [self.dir_encoder.out_dim + 16] + [rgb_n_neurons] * rgb_hidden_layer + [3]
         from jnerf_tpu.ops import fused_mlp as _fm
 
+        # The Pallas fused-MLP kernel (ops/fused_mlp.py) implements the
+        # reference's FullyFusedMlp semantics, but MEASURED SLOWER in-step
+        # on the bench chip (+21 ms at f4l8 scale, round-3 ledger): its
+        # custom_vjp is a fusion barrier, while XLA fuses the bf16 dot
+        # chain into the surrounding step.  So `use_fully` follows the
+        # reference's meaning (64-wide fused-shape networks) but the kernel
+        # itself is opt-in via cfg.use_pallas_mlp.
         self._fused_ok = bool(
-            use_fully
+            get_cfg().use_pallas_mlp
+            and use_fully
             and self.compute_dtype == jnp.bfloat16
             and self.density_dims == [_fm.D_IN, _fm.D_HID, _fm.D_GEO]
             and self.rgb_dims == [_fm.RGB_IN, _fm.D_HID, _fm.D_HID, 3]

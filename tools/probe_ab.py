@@ -2,11 +2,12 @@
 
 Usage: python tools/probe_ab.py <encoder> <variant>
   encoder: f4l8 | f2l16
-  variant: base | nofused | nocombine | proberef
-    base      — shipped defaults (fused MLP, run-combined scatter, sweep)
-    nofused   — XLA dot-chain MLP instead of the Pallas fused kernel
-    nocombine — plain per-sample RMW scatter loop
+  variant: base | pallasmlp | nocombine | proberef | sweepparts
+    base      — shipped defaults (XLA-chain MLP, plain RMW scatter, sweep)
+    pallasmlp — the Pallas fused-MLP kernel (measured +21 ms in-step)
+    nocombine — plain per-sample RMW scatter loop (now the default)
     proberef  — reference-style probe+splat grid refresh (refresh timing)
+    sweepparts— decompose the sweep refresh
 
 Prints one line: variant, per-step ms (scan4-chained, device-true).
 Run each variant in a SEPARATE process (fresh jit cache, one compile each).
@@ -25,11 +26,14 @@ variant = sys.argv[2] if len(sys.argv) > 2 else "base"
 
 from jnerf_tpu.utils.bench_cfg import ngp_synthetic_cfg
 
-enc = dict(hash_levels=8, hash_features=4) if enc_name == "f4l8" else {}
+enc = {"f4l8": dict(hash_levels=8, hash_features=4),
+       "f8l4": dict(hash_levels=4, hash_features=8),
+       "f2l16": {}}[enc_name]
 cfg = ngp_synthetic_cfg(
-    n_images=16, H=256, W=256, tot_train_steps=10 ** 9,
-    use_fully=(variant != "nofused"), **enc,
+    n_images=16, H=256, W=256, tot_train_steps=10 ** 9, **enc,
 )
+if variant == "pallasmlp":
+    cfg.use_pallas_mlp = True
 if variant == "nocombine":
     from jnerf_tpu.ops import hash_nbr
     hash_nbr.RUN_COMBINE = False
