@@ -32,10 +32,11 @@ def main():
     ap.add_argument("--hash-indexing", default="linear_rows",
                     choices=["linear_rows", "linear_nbr", "linear_rows_xla",
                              "xor"])
-    ap.add_argument("--encoder", default="f4l8", choices=["f2l16", "f4l8"],
-                    help="hash-grid shape: reference 16x2 or the TPU "
-                         "alternative 8 levels x 4 features (half the "
-                         "gather/scatter count, same output width)")
+    ap.add_argument("--encoder", default="f4l8",
+                    choices=["f2l16", "f4l8", "f8l4"],
+                    help="hash-grid shape: reference 16x2, or the TPU "
+                         "alternatives 8x4 / 4x8 (half / quarter the "
+                         "gather-scatter count, same 32-wide output)")
     ap.add_argument("--fast-cap", type=int, default=0,
                     help="hashed-level table cap in entries (0 = shipped "
                          "default of ~2^18; set 524288 for the reference's "
@@ -66,8 +67,9 @@ def main():
             hash_levels=8, log2_hashmap_size=13, tot_train_steps=1 << 30,
         )
     else:
-        enc = (dict(hash_levels=8, hash_features=4)
-               if args.encoder == "f4l8" else {})
+        enc = {"f4l8": dict(hash_levels=8, hash_features=4),
+               "f8l4": dict(hash_levels=4, hash_features=8),
+               "f2l16": {}}[args.encoder]
         cfg = ngp_synthetic_cfg(
             n_images=16,
             H=args.image_size,
@@ -113,11 +115,13 @@ def main():
     # scene PSNR by lego's 36.41 would be a category error (VERDICT r2) —
     # if no ceiling has been measured yet, vs_baseline is null.
     ceiling = None
-    ceiling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                "logs", "ceiling.json")
-    if os.path.exists(ceiling_path):
-        with open(ceiling_path) as f:
-            ceiling = json.load(f).get("psnr_ceiling")
+    here = os.path.dirname(os.path.abspath(__file__))
+    for name in (f"ceiling_{args.encoder}.json", "ceiling.json"):
+        ceiling_path = os.path.join(here, "logs", name)
+        if os.path.exists(ceiling_path):
+            with open(ceiling_path) as f:
+                ceiling = json.load(f).get("psnr_ceiling")
+            break
     mean_psnr = float(np.mean(psnrs))
     result = {
         "metric": "ngp_psnr_at_budget",
