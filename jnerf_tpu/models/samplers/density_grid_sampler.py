@@ -364,20 +364,27 @@ class DensityGridSampler:
         return self.state
 
     # ----------------------------------------------------- batch adaptation
-    def update_batch_rays(self):
+    def update_batch_rays(self, measured=None, n_steps=None):
         """Host-side: retune (n_rays, samples/ray) from the measured counter.
 
         Faithful to :266-271 except the power-of-two rounding (see module
         docstring).  Returns True if shapes changed (callers may re-jit).
+
+        ``measured``/``n_steps``: pass an already-fetched counter total (and
+        the number of steps it accumulated over) to skip the blocking
+        device_get — the windowed trainer adapts from the *previous*
+        window's counter via an async host copy, so the device pipeline
+        never drains between windows (docs/DESIGN.md round-3 ledger).
         """
         assert self.state is not None
-        measured = int(jax.device_get(self.state["measured_batch_size"]))
-        measured = max(measured / self.n_training_steps, 1.0)
+        if measured is None:
+            measured = int(jax.device_get(self.state["measured_batch_size"]))
+            self.state["measured_batch_size"] = jnp.zeros((), jnp.int32)
+        measured = max(measured / (n_steps or self.n_training_steps), 1.0)
         rays_per_batch = int(
             self.n_rays_per_batch * self.target_batch_size / measured
         )
         new_rays = _pow2_round(rays_per_batch, 128, self.target_batch_size)
-        self.state["measured_batch_size"] = jnp.zeros((), jnp.int32)
         changed = new_rays != self.n_rays_per_batch
         self.n_rays_per_batch = new_rays
         self.n_samples_per_ray = self._samples_for_rays(new_rays)

@@ -229,6 +229,14 @@ class Runner:
         step_fn = self._step_fn_body(n_rays, n_samples)
 
         def window_fn(params, opt_state, ema_state, grid_state, data, keys):
+            # Reset the sample counter at window start: each window's output
+            # counter is then that window's own measurement, so batch-shape
+            # adaptation can read it one window LATE (async host copy)
+            # instead of draining the pipeline with a blocking device_get
+            # at every refresh boundary.
+            grid_state = dict(grid_state)
+            grid_state["measured_batch_size"] = jnp.zeros((), jnp.int32)
+
             def body(carry, k):
                 p, o, e, g = carry
                 p, o, e, g, loss = step_fn(p, o, e, g, data, k)
@@ -238,7 +246,11 @@ class Runner:
                 body, (params, opt_state, ema_state, grid_state), keys,
                 length=length,
             )
-            return p, o, e, g, losses[-1]
+            # The counter is ALSO returned standalone: the state tree is
+            # donated to the next window call, so a reference held into it
+            # would be reading a deleted buffer; this output is its own
+            # buffer and stays valid across later calls.
+            return p, o, e, g, losses[-1], g["measured_batch_size"]
 
         return jax.jit(window_fn, donate_argnums=(0, 1, 2, 3))
 
@@ -249,11 +261,12 @@ class Runner:
         if shape not in self._train_window_cache:
             self._train_window_cache[shape] = self._build_train_window(*shape)
         (self.params, self.opt_state, self.ema_state, self.sampler.state,
-         loss) = self._retry_transient(
+         loss, measured) = self._retry_transient(
             self._train_window_cache[shape],
             self.params, self.opt_state, self.ema_state, self.sampler.state,
             self._train_data(), keys,
         )
+        self._last_window_measured = measured
         return loss
 
     def train_range(self, start: int, end: int, tick=None):
@@ -266,6 +279,7 @@ class Runner:
         freq = self.sampler.update_den_freq
         loss = None
         i = start
+        pending = None  # (counter array, n_steps) from the previous window
         while i < end:
             n = min(freq - (i % freq), end - i)
             self.cfg.m_training_step = i
@@ -278,7 +292,26 @@ class Runner:
                      self.sampler.n_samples_per_ray)
             i += n
             if i % freq == 0:
-                self.sampler.update_batch_rays()
+                # One-window-lagged batch adaptation: consume the PREVIOUS
+                # window's counter (its async copy completed while this
+                # window ran) and start fetching this window's.  The device
+                # pipeline never drains; shape changes land one refresh
+                # interval later than the reference's cadence, which the
+                # pow2 quantization makes a rare, benign lag.
+                if pending is not None:
+                    self.sampler.update_batch_rays(
+                        measured=int(jax.device_get(pending[0])),
+                        n_steps=pending[1],
+                    )
+                # _train_window returns the counter as a standalone output
+                # (NOT part of the donated state tree, which the next call
+                # would invalidate).
+                counter = self._last_window_measured
+                try:
+                    counter.copy_to_host_async()
+                except AttributeError:
+                    pass
+                pending = (counter, n)
         return loss
 
     def _update_grid(self, step: int, key):
