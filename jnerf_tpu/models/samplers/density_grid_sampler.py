@@ -364,7 +364,7 @@ class DensityGridSampler:
         return self.state
 
     # ----------------------------------------------------- batch adaptation
-    def update_batch_rays(self, measured=None, n_steps=None):
+    def update_batch_rays(self, measured=None, n_steps=None, rays_then=None):
         """Host-side: retune (n_rays, samples/ray) from the measured counter.
 
         Faithful to :266-271 except the power-of-two rounding (see module
@@ -375,15 +375,36 @@ class DensityGridSampler:
         device_get — the windowed trainer adapts from the *previous*
         window's counter via an async host copy, so the device pipeline
         never drains between windows (docs/DESIGN.md round-3 ledger).
+
+        ``rays_then`` is the n_rays the measurement was collected at: the
+        update solves new_rays = rays_then * target / measured, and with a
+        one-window-lagged counter the CURRENT n_rays may already differ.
+        Using the current value multiplies the update by the stale ratio
+        rays_now/rays_then — a positive-gain feedback that was observed as
+        a period-6 shape limit cycle on TPU (R cycling 256..16384).  Since
+        per-ray demand is budget-independent (the march counts demand up
+        to max_steps regardless of S), the correct update converges in one
+        adjustment.
         """
         assert self.state is not None
         if measured is None:
             measured = int(jax.device_get(self.state["measured_batch_size"]))
             self.state["measured_batch_size"] = jnp.zeros((), jnp.int32)
+        if rays_then is None:
+            rays_then = self.n_rays_per_batch
         measured = max(measured / (n_steps or self.n_training_steps), 1.0)
-        rays_per_batch = int(
-            self.n_rays_per_batch * self.target_batch_size / measured
-        )
+        rays_per_batch = int(rays_then * self.target_batch_size / measured)
+        # One octave per adjustment, relative to the CURRENT shape.  Demand
+        # is coupled to the shapes through training itself (a too-small S
+        # truncates rays -> the bg term punishes fog -> the density field
+        # and hence demand swing), so the raw multiplicative update is a
+        # positive-feedback controller: on TPU it locked into a period-6
+        # limit cycle (R cycling 256..16384 with the loss oscillating 4x).
+        # Damping to one pow2 step keeps the equilibrium (healthy demand is
+        # ~flat in R, so repeated steps still reach target/d) while bounding
+        # any transient excursion to 2x.
+        rays_per_batch = max(self.n_rays_per_batch // 2,
+                             min(self.n_rays_per_batch * 2, rays_per_batch))
         new_rays = _pow2_round(rays_per_batch, 128, self.target_batch_size)
         changed = new_rays != self.n_rays_per_batch
         self.n_rays_per_batch = new_rays

@@ -101,6 +101,9 @@ class Runner:
         self._train_step_cache = {}
         self._train_window_cache = {}
         self._grid_update_cache = {}
+        # (counter array, n_steps, n_rays_then) of the last finished window,
+        # consumed by the one-window-lagged batch adaptation in train_range.
+        self._pending_adapt = None
         self._render_chunk_cache = {}
         self.render_chunk_rays = 4096
         # Optional jax.sharding.Mesh for data-parallel training; rays shard
@@ -246,13 +249,18 @@ class Runner:
                 body, (params, opt_state, ema_state, grid_state), keys,
                 length=length,
             )
-            # The counter is ALSO returned standalone: the state tree is
-            # donated to the next window call, so a reference held into it
-            # would be reading a deleted buffer; this output is its own
-            # buffer and stays valid across later calls.
-            return p, o, e, g, losses[-1], g["measured_batch_size"]
+            return p, o, e, g, losses[-1]
 
-        return jax.jit(window_fn, donate_argnums=(0, 1, 2, 3))
+        # grid_state (argnum 3) is deliberately NOT donated: the lagged
+        # batch adaptation holds a reference to the previous window's
+        # counter leaf across later dispatches, and a donated tree's
+        # buffers die at the next call.  (Returning the counter as an extra
+        # output instead is NOT safe: XLA aliases equal outputs to one
+        # buffer, so the "standalone" copy died with the donated state —
+        # observed as garbage counter reads -> runaway shapes on TPU.)
+        # The pass-through copy of the grid tree this costs is ~26 MB of
+        # HBM traffic per 16-step window — negligible.
+        return jax.jit(window_fn, donate_argnums=(0, 1, 2))
 
     def _train_window(self, keys):
         """Run len(keys) steps in one dispatch; mutates runner state."""
@@ -261,12 +269,11 @@ class Runner:
         if shape not in self._train_window_cache:
             self._train_window_cache[shape] = self._build_train_window(*shape)
         (self.params, self.opt_state, self.ema_state, self.sampler.state,
-         loss, measured) = self._retry_transient(
+         loss) = self._retry_transient(
             self._train_window_cache[shape],
             self.params, self.opt_state, self.ema_state, self.sampler.state,
             self._train_data(), keys,
         )
-        self._last_window_measured = measured
         return loss
 
     def train_range(self, start: int, end: int, tick=None):
@@ -279,7 +286,6 @@ class Runner:
         freq = self.sampler.update_den_freq
         loss = None
         i = start
-        pending = None  # (counter array, n_steps) from the previous window
         while i < end:
             n = min(freq - (i % freq), end - i)
             self.cfg.m_training_step = i
@@ -297,21 +303,27 @@ class Runner:
                 # window ran) and start fetching this window's.  The device
                 # pipeline never drains; shape changes land one refresh
                 # interval later than the reference's cadence, which the
-                # pow2 quantization makes a rare, benign lag.
-                if pending is not None:
+                # pow2 quantization makes a rare, benign lag.  The pending
+                # slot lives on the runner, not this frame: bench_psnr and
+                # Runner.train drive training one window per train_range
+                # call, and a local would reset (= never adapt) there.
+                if self._pending_adapt is not None:
                     self.sampler.update_batch_rays(
-                        measured=int(jax.device_get(pending[0])),
-                        n_steps=pending[1],
+                        measured=int(jax.device_get(self._pending_adapt[0])),
+                        n_steps=self._pending_adapt[1],
+                        rays_then=self._pending_adapt[2],
                     )
-                # _train_window returns the counter as a standalone output
-                # (NOT part of the donated state tree, which the next call
-                # would invalidate).
-                counter = self._last_window_measured
+                # The window resets the counter at its start, so this leaf
+                # is exactly this window's measurement; neither the window
+                # nor the grid update donates the grid tree, so the buffer
+                # stays valid while later windows run.
+                counter = self.sampler.state["measured_batch_size"]
                 try:
                     counter.copy_to_host_async()
                 except AttributeError:
                     pass
-                pending = (counter, n)
+                self._pending_adapt = (counter, n,
+                                       self.sampler.n_rays_per_batch)
         return loss
 
     def _update_grid(self, step: int, key):
@@ -324,7 +336,8 @@ class Runner:
                 lambda p, s, k: self.sampler.update_density_grid_fn(
                     p, s, k, n_u, n_n, first_step=sig[2]
                 ),
-                donate_argnums=(1,),
+                # No donation: the lagged batch adaptation holds the
+                # previous window's counter leaf across this dispatch.
             )
         self.sampler.state = self._retry_transient(
             self._grid_update_cache[sig], self.params, self.sampler.state, key
