@@ -69,6 +69,18 @@ class DensityGridSampler:
         self.n_rays_per_batch = int(cfg.n_rays_per_batch or 4096)
         self.target_batch_size = int(cfg.target_batch_size or (1 << 18))
         self.n_training_steps = int(cfg.n_training_steps or 16)
+        # Ragged-compaction knobs (ops.compact; round 3).  march_budget_factor
+        # over-provisions the per-ray sample budget S by f: the march/select
+        # tier scales with [R, S] but the model tier only with the compacted
+        # M, so a generous S keeps heavy rays un-truncated (the reference
+        # keeps ALL demand up to its global cap) at march-only cost.
+        # compacted_batch=None disables compaction (padded path).
+        self.march_budget_factor = int(cfg.march_budget_factor or 1)
+        cb = cfg.compacted_batch
+        self.compacted_batch = (
+            None if not cb else
+            (self.target_batch_size if cb is True else int(cb))
+        )
         self.const_dt = bool(cfg.const_dt)
         self.background_color = list(cfg.background_color or [0, 0, 0])
 
@@ -107,7 +119,8 @@ class DensityGridSampler:
 
     # ----------------------------------------------------------------- state
     def _samples_for_rays(self, n_rays: int) -> int:
-        s = max(1, self.target_batch_size // max(n_rays, 1))
+        s = max(1, (self.march_budget_factor * self.target_batch_size)
+                // max(n_rays, 1))
         return min(s, self.max_samples_per_ray)
 
     def init_state(self):

@@ -1,0 +1,152 @@
+"""Ragged sample compaction + segmented compositing (TPU-first).
+
+The reference trainer compacts marched samples into a dense buffer before
+the MLP (`/root/reference/python/jnerf/models/samplers/density_grid_sampler/
+op_header/compacted_coord.h`), so its model tier runs on exactly the
+samples that exist (globally capped at ``target_batch_size``).  Our fixed
+[R, S] padded layout instead pays the model tier on every slot — and the
+steady-state measured occupancy is only ~26% (tools probe, round 3): the
+per-ray demand distribution is heavy-tailed, so most slots of most rays
+are padding while ~20% of rays truncate at S.  That both wastes ~4x of
+the dominant hash/MLP cost and trains on ~4x fewer real samples than the
+reference keeps at the same target batch.
+
+This module restores the reference's compaction semantics with TPU-native
+machinery (static shapes, no data-dependent control flow, no [M]-sized
+scatter-adds in forward OR backward):
+
+- ``compact_indices``: [R, S] validity -> gather indices into a dense
+  [M] buffer.  Ragged offsets come from one cumsum; the per-slot ray id
+  comes from an R-sized scatter-max + ``lax.cummax`` (the classic ragged
+  gather trick) — no searchsorted (vmapped searchsorted lowers to
+  element-gather loops) and no [M, R] broadcast compares.
+- ``render_rays_compact``: the exact `calc_rgb.h` compositing over the
+  ragged layout.  The per-ray transmittance cumprod becomes a flagged
+  ``associative_scan`` (segment heads reset the product); per-ray sums
+  become one plain cumsum + boundary-difference gathers (R-sized, so
+  their autodiff adjoint is an R-sized scatter, not an [M] one).
+
+Samples past the global cap M are dropped and their rays flagged
+truncated, matching `calc_rgb.h:68-71` (the reference skips the
+background term for rays cut by the compaction cap).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class CompactInfo(NamedTuple):
+    idx: jnp.ndarray         # [M] int32 flat (r*S + s) source slot per lane
+    slot_valid: jnp.ndarray  # [M] bool: lane holds a real (kept) sample
+    head: jnp.ndarray        # [M] bool: lane starts a ray's segment
+    offsets: jnp.ndarray     # [R+1] int32 exclusive prefix (uncapped)
+    counts: jnp.ndarray      # [R] int32 kept (leading-run) samples per ray
+    truncated: jnp.ndarray   # [R] bool: ray lost samples to the M cap
+
+
+def compact_indices(valid: jnp.ndarray, m: int) -> CompactInfo:
+    """Build gather indices packing the valid samples of [R, S] into [M].
+
+    ``valid`` must be a leading run per ray (the march emits samples in
+    t-order and clips suffixes); any post-hole stragglers are dropped by
+    the cumprod below, which also guarantees contiguity.
+    """
+    r, s = valid.shape
+    lead = jnp.cumprod(valid.astype(jnp.int32), axis=1)  # [R, S]
+    counts = jnp.sum(lead, axis=1)  # [R]
+    offsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
+    )  # [R+1]
+    total = offsets[-1]
+
+    # Ray id per compact lane: scatter each non-empty ray's index at its
+    # start lane (empty rays collide with the next non-empty ray's start;
+    # max keeps the owner), then cummax fills the segment.
+    starts = jnp.where((counts > 0) & (offsets[:-1] < m), offsets[:-1], m)
+    seed = jnp.zeros((m,), jnp.int32).at[starts].max(
+        jnp.arange(r, dtype=jnp.int32), mode="drop"
+    )
+    comp_ray = jax.lax.cummax(seed, axis=0)  # [M]
+
+    lane = jnp.arange(m, dtype=jnp.int32)
+    within = lane - jnp.take(offsets, comp_ray)
+    slot_valid = lane < jnp.minimum(total, m)
+    head = slot_valid & (within == 0)
+    idx = jnp.clip(comp_ray * s + jnp.clip(within, 0, s - 1), 0, r * s - 1)
+    return CompactInfo(
+        idx=idx,
+        slot_valid=slot_valid,
+        head=head,
+        offsets=offsets,
+        counts=counts,
+        truncated=offsets[1:] > m,
+    )
+
+
+def _seg_cumprod(x: jnp.ndarray, head: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive cumprod of ``x`` that restarts at each True in ``head``."""
+
+    def op(a, b):
+        va, fa = a
+        vb, fb = b
+        return jnp.where(fb, vb, va * vb), fa | fb
+
+    v, _ = jax.lax.associative_scan(op, (x, head))
+    return v
+
+
+def render_rays_compact(raw, dts, info: CompactInfo, background=None,
+                        apply_bg_on_truncated=False):
+    """Composite compacted [M, 4] network outputs to per-ray RGB.
+
+    Matches ``ops.composite.render_rays`` semantics on the kept samples
+    (same activations, same 1e-10 transmittance floor).  ``dts`` is [M].
+    Returns (rgb [R, 3], opacity [R]).
+
+    Background handling: rays cut by the global cap skip the background
+    term like the reference's compaction-capped rays (`calc_rgb.h:68-71`)
+    unless ``apply_bg_on_truncated`` — with a generous march budget the
+    cap is the only common truncation, so the reference rule is the
+    default here (the padded path's bg-on-truncated rationale in
+    ``density_grid_sampler.composite`` applies to S-truncation, which
+    compaction mostly removes).
+    """
+    n_rays = info.counts.shape[0]
+    rgb = jax.nn.sigmoid(raw[:, :3])  # [M, 3]
+    sigma = jnp.exp(raw[:, 3])
+    alpha = jnp.where(info.slot_valid, 1.0 - jnp.exp(-sigma * dts), 0.0)
+    x = 1.0 - alpha + 1e-10
+    trans_incl = _seg_cumprod(x, info.head)  # [M]
+    shifted = jnp.concatenate([jnp.ones((1,), trans_incl.dtype),
+                               trans_incl[:-1]])
+    t_excl = jnp.where(info.head, 1.0, shifted)
+    weights = alpha * t_excl  # [M]
+
+    # Per-ray sums: one plain cumsum + boundary differences (the adjoint
+    # of these gathers is an R-sized scatter, never an [M]-sized one).
+    m = raw.shape[0]
+    off = jnp.clip(info.offsets, 0, m)  # [R+1]
+    ps = jnp.concatenate(
+        [jnp.zeros((1, 3), raw.dtype),
+         jnp.cumsum(weights[:, None] * rgb, axis=0)]
+    )  # [M+1, 3]
+    rgb_ray = jnp.take(ps, off[1:], axis=0) - jnp.take(ps, off[:-1], axis=0)
+
+    # Final transmittance: product over the ray's kept samples.
+    last = jnp.clip(off[1:] - 1, 0, m - 1)
+    t_final = jnp.where(
+        (info.counts > 0) & (off[1:] > off[:-1]),
+        jnp.take(trans_incl, last), 1.0,
+    )
+    if background is not None:
+        bg_weight = t_final
+        if not apply_bg_on_truncated:
+            bg_weight = jnp.where(info.truncated, 0.0, bg_weight)
+        rgb_ray = rgb_ray + bg_weight[:, None] * jnp.broadcast_to(
+            background, (n_rays, 3)
+        )
+    return rgb_ray, 1.0 - t_final

@@ -156,7 +156,38 @@ class Runner:
             samples = sampler.sample_fixed(grid_state, rays_o, rays_d, k_march,
                                            n_samples)
 
+            # Ragged compaction (ops.compact): the model tier runs on the
+            # M kept samples instead of every [R, S] slot (measured ~26%
+            # occupancy at steady state), restoring the reference's
+            # compacted-batch semantics (compacted_coord.h global cap).
+            m_compact = sampler.compacted_batch
+            use_compact = (
+                m_compact is not None and n_rays * n_samples > m_compact
+            )
+            if use_compact:
+                from jnerf_tpu.ops.compact import (
+                    compact_indices, render_rays_compact,
+                )
+
+                info = compact_indices(samples.valid, m_compact)
+                pos_c = samples.positions.reshape(-1, 3)[info.idx]
+                dirs_c = samples.dirs.reshape(-1, 3)[info.idx]
+                dts_c = jnp.where(
+                    info.slot_valid, samples.dts.reshape(-1)[info.idx], 0.0
+                )
+
             def loss_fn(p):
+                if use_compact:
+                    raw = model(p, pos_c, dirs_c)
+                    rgb, _ = render_rays_compact(
+                        raw, dts_c, info, background=bg
+                    )
+                    main = jnp.mean(loss_obj(rgb, target))
+                    reg = density_l1_reg(
+                        raw[:, 3], info.slot_valid,
+                        grid_state["mean"], DENSITY_L1_COEF,
+                    )
+                    return main + reg, main
                 raw = model(
                     p,
                     samples.positions.reshape(-1, 3),
