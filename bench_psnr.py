@@ -41,6 +41,12 @@ def main():
                     help="hashed-level table cap in entries (0 = shipped "
                          "default of ~2^18; set 524288 for the reference's "
                          "uncapped 2^19 — the cap-deviation A/B)")
+    ap.add_argument("--compact", action="store_true",
+                    help="ragged sample compaction (ops.compact): model "
+                         "tier on the kept samples only")
+    ap.add_argument("--march-factor", type=int, default=1,
+                    help="over-provision the per-ray march budget by this "
+                         "factor (compaction keeps model cost at M)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--tiny", action="store_true",
                     help="harness smoke test: tiny scene/model (CPU-speed)")
@@ -80,6 +86,9 @@ def main():
     cfg.hash_indexing = args.hash_indexing
     if args.fast_cap:
         cfg.hashmap_fast_cap = args.fast_cap
+    if args.compact:
+        cfg.compacted_batch = True
+        cfg.march_budget_factor = args.march_factor
     runner = Runner()
     freq = runner.sampler.update_den_freq
 
@@ -136,6 +145,8 @@ def main():
             "hash_indexing": args.hash_indexing,
             "encoder": args.encoder,
             "fast_cap": args.fast_cap or None,
+            "compact": (f"m=target,f={args.march_factor}"
+                        if args.compact else None),
             "per_view_psnr": [round(p, 2) for p in psnrs],
             "scene": ("synthetic-spheres-tiny" if args.tiny else
                       f"synthetic-spheres-{args.image_size}") +
