@@ -82,7 +82,7 @@ class MipRunner:
             ret.append((rgb, dist, acc))
         return ret
 
-    def _build_train_step(self):
+    def _step_body(self):
         tx = self.tx
         coarse_mult = self.coarse_loss_mult
         disable_ms = self.disable_multiscale_loss
@@ -105,21 +105,63 @@ class MipRunner:
             params = jax.tree.map(lambda p, u: p + u, params, updates)
             return params, opt_state, loss, fine_mse
 
-        return jax.jit(step, donate_argnums=(0, 1))
+        return step
+
+    def _build_train_step(self):
+        return jax.jit(self._step_body(), donate_argnums=(0, 1))
+
+    def _build_train_window(self, length: int):
+        """jit of `length` chained steps (host dispatch is ~58 ms/call on
+        this harness; a per-step loop is dispatch-bound at ~17 it/s —
+        docs/DESIGN.md round-3 ledger).  The optax schedule lives in
+        opt_state's count, so no per-step scalars need stacking; ray
+        batches stack as a pytree scanned over axis 0."""
+        step_fn = self._step_body()
+
+        def window(params, opt_state, rays, rgb_targets, keys):
+            def body(carry, x):
+                p, o = carry
+                r, t, k = x
+                p, o, loss, fine = step_fn(p, o, r, t, k)
+                return (p, o), loss
+
+            (p, o), losses = jax.lax.scan(
+                body, (params, opt_state), (rays, rgb_targets, keys),
+                length=length,
+            )
+            return p, o, losses[-1]
+
+        return jax.jit(window, donate_argnums=(0, 1))
+
+    _WINDOW = 16
+    _VAL_FREQ = 2000
 
     def train(self):
         from tqdm import tqdm
 
-        if self._train_jit is None:
-            self._train_jit = self._build_train_step()
-        for i in tqdm(range(self.start, self.tot_train_steps)):
+        window_cache = {}
+        i = self.start
+        bar = tqdm(total=self.tot_train_steps - self.start)
+        loss = None
+        while i < self.tot_train_steps:
+            n = min(self._WINDOW,
+                    self._VAL_FREQ - (i % self._VAL_FREQ) or self._VAL_FREQ,
+                    self.tot_train_steps - i)
             self.cfg.m_training_step = i
-            rays, rgb_target = next(self.dataset["train"])
-            self.key, k = jax.random.split(self.key)
-            self.params, self.opt_state, loss, _ = self._train_jit(
-                self.params, self.opt_state, rays, rgb_target, k
+            batches = [next(self.dataset["train"]) for _ in range(n)]
+            rays = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                *[b[0] for b in batches])
+            targets = jnp.stack([b[1] for b in batches])
+            self.key, k_win = jax.random.split(self.key)
+            if n not in window_cache:
+                window_cache[n] = self._build_train_window(n)
+            self.params, self.opt_state, loss = window_cache[n](
+                self.params, self.opt_state, rays, targets,
+                jax.random.split(k_win, n),
             )
-            if i > 0 and i % 2000 == 0:
+            i += n
+            bar.update(n)
+            if i < self.tot_train_steps and i % self._VAL_FREQ == 0:
                 psnr = mse2psnr(self.val_img(i))
                 print(f"STEP={i} | LOSS={float(loss):.5f} | "
                       f"VAL PSNR={float(psnr):.3f}")

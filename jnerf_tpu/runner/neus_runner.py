@@ -96,7 +96,7 @@ class NeuSRunner:
         return self.learning_rate * factor
 
     # ---------------------------------------------------------------- train
-    def _build_train_step(self):
+    def _step_body(self):
         renderer = self.renderer
         tx = self.tx
         igr_w, mask_w = self.igr_weight, self.mask_weight
@@ -132,29 +132,84 @@ class NeuSRunner:
             params = jax.tree.map(lambda p, u: p + u, params, updates)
             return params, opt_state, loss, aux
 
-        return jax.jit(step, donate_argnums=(0, 1))
+        return step
+
+    def _build_train_step(self):
+        return jax.jit(self._step_body(), donate_argnums=(0, 1))
+
+    def _build_train_window(self, length: int):
+        """jit of `length` chained steps (lax.scan over stacked per-step
+        inputs).  Host dispatch costs ~58 ms/call on this harness — a
+        per-step loop is dispatch-bound at ~17 it/s no matter how fast the
+        device step is (docs/DESIGN.md round-3 ledger), so steps are
+        chained between host events exactly like `Runner._train_window`."""
+        step_fn = self._step_body()
+
+        def window(params, opt_state, data, nears, fars, lrs, anneals, keys):
+            def body(carry, x):
+                p, o = carry
+                d, near, far, lr, an, k = x
+                p, o, loss, aux = step_fn(
+                    p, o, d[:, :3], d[:, 3:6], d[:, 6:9], d[:, 9:10],
+                    near, far, lr, an, k,
+                )
+                return (p, o), loss
+
+            (p, o), losses = jax.lax.scan(
+                body, (params, opt_state),
+                (data, nears, fars, lrs, anneals, keys), length=length,
+            )
+            return p, o, losses[-1]
+
+        return jax.jit(window, donate_argnums=(0, 1))
+
+    _WINDOW = 16
 
     def train(self):
         from tqdm import tqdm
 
-        if self._train_step_jit is None:
-            self._train_step_jit = self._build_train_step()
         image_perm = np.random.permutation(self.dataset.n_images)
+        window_cache = {}
+        bar = tqdm(total=self.end_iter - self.iter_step)
 
-        for _ in tqdm(range(self.end_iter - self.iter_step)):
-            img_idx = int(image_perm[self.iter_step % len(image_perm)])
-            data = self.dataset.gen_random_rays_at(img_idx, self.batch_size)
-            rays_o, rays_d = data[:, :3], data[:, 3:6]
-            true_rgb, mask = data[:, 6:9], data[:, 9:10]
-            near, far = self.dataset.near_far_from_sphere(rays_o, rays_d)
+        while self.iter_step < self.end_iter:
+            # Window length: up to the next host event (report/save/val
+            # boundaries and end_iter all truncate it).
+            n = self._WINDOW
+            for freq in (self.report_freq, self.save_freq, self.val_freq,
+                         self.val_mesh_freq, len(image_perm)):
+                n = min(n, freq - (self.iter_step % freq) or freq)
+            n = max(1, min(n, self.end_iter - self.iter_step))
 
-            self.key, k = jax.random.split(self.key)
-            self.params, self.opt_state, loss, aux = self._train_step_jit(
-                self.params, self.opt_state, rays_o, rays_d, true_rgb, mask,
-                near, far, jnp.float32(self.current_lr()),
-                jnp.float32(self.get_cos_anneal_ratio()), k,
+            data, nears, fars, lrs, anneals = [], [], [], [], []
+            for j in range(n):
+                step = self.iter_step + j
+                img_idx = int(image_perm[step % len(image_perm)])
+                d = self.dataset.gen_random_rays_at(img_idx, self.batch_size)
+                near, far = self.dataset.near_far_from_sphere(
+                    d[:, :3], d[:, 3:6]
+                )
+                data.append(d)
+                nears.append(near)
+                fars.append(far)
+                save_step = self.iter_step
+                self.iter_step = step
+                lrs.append(self.current_lr())
+                anneals.append(self.get_cos_anneal_ratio())
+                self.iter_step = save_step
+            self.key, k_win = jax.random.split(self.key)
+
+            if n not in window_cache:
+                window_cache[n] = self._build_train_window(n)
+            self.params, self.opt_state, loss = window_cache[n](
+                self.params, self.opt_state,
+                jnp.stack(data), jnp.stack(nears), jnp.stack(fars),
+                jnp.asarray(lrs, jnp.float32),
+                jnp.asarray(anneals, jnp.float32),
+                jax.random.split(k_win, n),
             )
-            self.iter_step += 1
+            self.iter_step += n
+            bar.update(n)
 
             if self.iter_step % self.report_freq == 0:
                 print(f"iter:{self.iter_step:8d} loss = {float(loss):.5f} "

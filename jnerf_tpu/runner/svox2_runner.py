@@ -66,7 +66,7 @@ class Svox2Runner:
         self._train_jit = None
         self._render_jit = None
 
-    def _build_train_step(self):
+    def _step_body(self):
         grid, optim = self.grid, self.optim
         l_tv, l_tv_sh = self.lambda_tv, self.lambda_tv_sh
         n_samples = self.n_samples
@@ -98,16 +98,46 @@ class Svox2Runner:
             )
             return params, opt_state, mse
 
-        return jax.jit(step, donate_argnums=(0, 1))
+        return step
+
+    def _build_train_step(self):
+        return jax.jit(self._step_body(), donate_argnums=(0, 1))
+
+    def _build_train_window(self, length: int):
+        """jit of `length` chained steps (lax.scan): host dispatch is
+        ~58 ms/call on this harness, so a per-step loop is dispatch-bound
+        at ~17 it/s (docs/DESIGN.md round-3 ledger).  LR scalars and ray
+        batches stack along the scanned axis."""
+        step_fn = self._step_body()
+
+        def window(params, opt_state, aux, ro, rd, rgb, lr_sigma, lr_sh,
+                   keys):
+            def body(carry, x):
+                p, o = carry
+                bo, bd, bc, ls, lh, k = x
+                p, o, mse = step_fn(p, o, aux, bo, bd, bc, ls, lh, k)
+                return (p, o), mse
+
+            (p, o), mses = jax.lax.scan(
+                body, (params, opt_state),
+                (ro, rd, rgb, lr_sigma, lr_sh, keys), length=length,
+            )
+            return p, o, mses[-1]
+
+        return jax.jit(window, donate_argnums=(0, 1))
+
+    _WINDOW = 16
 
     def train(self, n_iters=None):
         from tqdm import tqdm
 
         n_iters = n_iters or self.n_iters
-        if self._train_jit is None:
-            self._train_jit = self._build_train_step()
         reso_idx = 0
-        for _ in tqdm(range(n_iters)):
+        window_cache = {}
+        end = self.gstep + n_iters
+        bar = tqdm(total=n_iters)
+        mse = None
+        while self.gstep < end:
             if (
                 self.gstep > 0
                 and self.gstep % self.upsamp_every == 0
@@ -123,15 +153,28 @@ class Svox2Runner:
                     print(f"sparse grid: {n_active} active cells "
                           f"(cap {self.aux['cells'].shape[0]})")
                 self.opt_state = self.optim.init(self.params)
-                self._train_jit = self._build_train_step()
-            rays_o, rays_d, rgb = self.dataset["train"].next_batch(self.batch_size)
-            self.params, self.opt_state, mse = self._train_jit(
-                self.params, self.opt_state, self.aux, rays_o, rays_d, rgb,
-                jnp.float32(self.lr_sigma_fn(self.gstep)),
-                jnp.float32(self.lr_sh_fn(self.gstep)),
-                jax.random.PRNGKey(self.gstep),
+                window_cache = {}
+            n = min(self._WINDOW, end - self.gstep,
+                    self.upsamp_every - (self.gstep % self.upsamp_every)
+                    or self.upsamp_every)
+            ro, rd, rgb = zip(*[
+                self.dataset["train"].next_batch(self.batch_size)
+                for _ in range(n)
+            ])
+            steps = jnp.arange(self.gstep, self.gstep + n)
+            if n not in window_cache:
+                window_cache[n] = self._build_train_window(n)
+            self.params, self.opt_state, mse = window_cache[n](
+                self.params, self.opt_state, self.aux,
+                jnp.stack(ro), jnp.stack(rd), jnp.stack(rgb),
+                jnp.asarray([self.lr_sigma_fn(s) for s in range(
+                    self.gstep, self.gstep + n)], jnp.float32),
+                jnp.asarray([self.lr_sh_fn(s) for s in range(
+                    self.gstep, self.gstep + n)], jnp.float32),
+                jnp.stack([jax.random.PRNGKey(int(s)) for s in steps]),
             )
-            self.gstep += 1
+            self.gstep += n
+            bar.update(n)
         return float(mse)
 
     def render_image(self, dataset, img_idx, chunk=4096):
