@@ -418,7 +418,15 @@ class DensityGridSampler:
         # any transient excursion to 2x.
         rays_per_batch = max(self.n_rays_per_batch // 2,
                              min(self.n_rays_per_batch * 2, rays_per_batch))
-        new_rays = _pow2_round(rays_per_batch, 128, self.target_batch_size)
+        # Floor S at 16 by capping rays: late in training the mean demand
+        # per ray collapses (most rays hit pruned space), and an uncapped
+        # R walks to six figures where S floors at 1-2 — there the march
+        # leaves its strided probe path and its occupancy row-gather temp
+        # is [R*K, 128] bools (~16 GB at R=128k: the psnr300_f8l4 OOM).
+        # Rays beyond target/16 only add padding the fixed [R, S] layout
+        # (or the compaction cap) would drop anyway.
+        new_rays = _pow2_round(rays_per_batch, 128,
+                               max(128, self.target_batch_size // 16))
         changed = new_rays != self.n_rays_per_batch
         self.n_rays_per_batch = new_rays
         self.n_samples_per_ray = self._samples_for_rays(new_rays)

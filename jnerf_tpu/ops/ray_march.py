@@ -233,7 +233,13 @@ def sample_rays(
     # from the closed form ts_at at exactly the indices needed — the full
     # [R, K] t/dt grids are never materialized.
     stride = cfg.probe_stride
-    if stride > 1 and n_samples % stride == 0:
+    # Degrade the stride rather than fall back to the unstrided path: the
+    # full [R, K] probe materializes an [R*K, G] bool gather temp (16 GB at
+    # R=128k, K=1024, G=128 — observed OOM), while stride halving just
+    # coarsens probe granularity.
+    while stride > 1 and n_samples % stride:
+        stride //= 2
+    if stride > 1:
         kp = jnp.arange(0, cfg.n_candidates, stride, jnp.float32)[None, :]
         tp = 0.5 * (ts_at(cfg, t_start, kp)
                     + ts_at(cfg, t_start, kp + (stride - 1)))  # [R, K/s]
