@@ -106,7 +106,12 @@ class TestSvox2EndToEnd:
         mse_last = runner.train(600)
         psnr = runner.eval_psnr(n_images=1)
         print(f"svox2 after 600 iters: last-mse={mse_last:.5f} test PSNR={psnr:.2f}")
-        assert psnr > 13.0, psnr
+        # Measured on THIS config/scene (tools/tiny_ceiling_svox2.py,
+        # logs/tiny_ceiling_svox2.json, 2026-08-17): 14.36 dB at the
+        # test's 600 iters, rising to >=17.7 by 6000 (VERDICT r2 #7:
+        # thresholds anchored to measurements, not vibes).  13.5 leaves
+        # ~0.8 dB for run-to-run jitter while failing real regressions.
+        assert psnr > 13.5, psnr
 
         # npz round-trip
         p = runner.save()
