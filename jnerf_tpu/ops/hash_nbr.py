@@ -306,8 +306,102 @@ def _sample_blk(n: int) -> int:
 RUN_COMBINE = False
 
 
+def _compute_vals(scale, pos_ref, g_ref, slot, lvl, F: int, L: int):
+    """[BLK, 128] scatter values for (level, block): corner-weighted
+    upstream grads, slot-one-hot across the P entry positions per row.
+    Shared by the RMW and matmul backward kernels; see _make_bwd_kernel
+    for the lane layout and the arithmetic-blend rationale."""
+    import jax.lax as lax
+
+    log2f = F.bit_length() - 1
+    log2w = (8 * F).bit_length() - 1
+
+    def fract(p):
+        q = p * scale + 0.5
+        return q - jnp.floor(q)
+
+    fx = fract(pos_ref[:, 0:1])  # [BLK, 1]
+    fy = fract(pos_ref[:, 1:2])
+    fz = fract(pos_ref[:, 2:3])
+    fl = g_ref.shape[1]
+    gl = lax.broadcasted_iota(jnp.int32, (1, fl), 1)
+    gall = g_ref[:]
+
+    lane = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    bx = ((lane >> log2f) & 1).astype(jnp.float32)
+    by = ((lane >> (log2f + 1)) & 1).astype(jnp.float32)
+    bz = ((lane >> (log2f + 2)) & 1).astype(jnp.float32)
+    X = (1.0 - fx) + bx * (2.0 * fx - 1.0)
+    Y = (1.0 - fy) + by * (2.0 * fy - 1.0)
+    Z = (1.0 - fz) + bz * (2.0 * fz - 1.0)
+    G = 0.0
+    for f in range(F):
+        gcol = jnp.sum(
+            jnp.where(gl == lvl + f * L, gall, 0.0), axis=1,
+            keepdims=True,
+        )  # [BLK, 1]
+        G = G + gcol * ((lane & (F - 1)) == f).astype(jnp.float32)
+    S = ((lane >> log2w) == slot).astype(jnp.float32)
+    return X * Y * Z * G * S
+
+
+# Levels whose accumulator has at most this many rows scatter via a
+# one-hot MXU matmul instead of the serial RMW loop: the loop is
+# latency-bound at ~12.5 ns/row (tools/probe_rmw.py), so a level costs
+# N_samples * 12.5 ns regardless of table size, while the matmul costs
+# 2*N*rows*128*2 FLOPs (double-bf16) — cheaper below ~4k rows, ~5x
+# cheaper at <=2k.  Coarse (dense) levels sit at the front of the level
+# list with the smallest tables, so the split is a prefix.
+MATMUL_ROWS_MAX = 2048
+
+
 @functools.lru_cache(maxsize=16)
-def _make_bwd_kernel(F: int, L: int, combine: bool = True):
+def _make_bwd_matmul_kernel(F: int, L: int, rows_blk: int, lvl_off: int = 0,
+                            chunk: int = 512):
+    """Kernel factory: one (small-level, sample-block) cell builds
+    [BLK, 128] values and accumulates them into the level's [rows_blk,
+    128] block with chunked one-hot matmuls on the MXU.
+
+    The one-hot operand is exact in bf16; the values are split
+    hi/lo-bf16 (double-bf16, ~2^-21 relative) so the f32-accumulated
+    product stays well inside the grad tests' 5e-2 tolerance while both
+    matmuls run at the MXU's bf16 rate.
+    """
+    import jax.lax as lax
+
+    def kern(scale_ref, rows_ref, slot_ref, pos_ref, g_ref, out_ref,
+             vals_ref):
+        from jax.experimental import pallas as pl
+
+        lvl = pl.program_id(0) + lvl_off
+
+        @pl.when(pl.program_id(1) == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        scale = scale_ref[lvl, 0]
+        slot = slot_ref[0, 0, :][:, None]  # [BLK, 1] int32
+        vals_ref[:] = _compute_vals(scale, pos_ref, g_ref, slot, lvl, F, L)
+
+        blk = vals_ref.shape[0]
+        acc = jnp.zeros_like(out_ref)
+        for c in range(blk // chunk):
+            rv = rows_ref[0, 0, pl.ds(c * chunk, chunk)].reshape(1, chunk)
+            oh = (
+                lax.broadcasted_iota(jnp.int32, (rows_blk, chunk), 0) == rv
+            ).astype(jnp.bfloat16)
+            v = vals_ref[pl.ds(c * chunk, chunk), :]  # [chunk, 128] f32
+            hi = v.astype(jnp.bfloat16)
+            lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            acc = acc + jnp.dot(oh, hi, preferred_element_type=jnp.float32)
+            acc = acc + jnp.dot(oh, lo, preferred_element_type=jnp.float32)
+        out_ref[:] += acc
+
+    return kern
+
+
+@functools.lru_cache(maxsize=16)
+def _make_bwd_kernel(F: int, L: int, combine: bool = True, lvl_off: int = 0):
     """Kernel factory: one (level, sample-block) cell builds [BLK,128]
     values and RMW-scatters them.
 
@@ -329,54 +423,20 @@ def _make_bwd_kernel(F: int, L: int, combine: bool = True):
     (cheap) and flush to the dynamically-addressed accumulator only on row
     change (~10 ns, tools/probe_bwd_var.py), cutting dynamic RMWs several-x.
     """
-    W = 8 * F
-    log2f = F.bit_length() - 1
-    log2w = W.bit_length() - 1
-
     def kern(scale_ref, rows_ref, slot_ref, pos_ref, g_ref, out_ref,
              vals_ref, acc_ref, prev_ref):
         import jax.lax as lax
         from jax.experimental import pallas as pl
 
-        lvl = pl.program_id(0)
+        lvl = pl.program_id(0) + lvl_off
 
         @pl.when(pl.program_id(1) == 0)
         def _():
             out_ref[:] = jnp.zeros_like(out_ref)
 
         scale = scale_ref[lvl, 0]
-
-        def fract(p):
-            q = p * scale + 0.5
-            return q - jnp.floor(q)
-
-        fx = fract(pos_ref[:, 0:1])  # [BLK, 1]
-        fy = fract(pos_ref[:, 1:2])
-        fz = fract(pos_ref[:, 2:3])
-        fl = g_ref.shape[1]
-        gl = lax.broadcasted_iota(jnp.int32, (1, fl), 1)
-        gall = g_ref[:]
         slot = slot_ref[0, 0, :][:, None]  # [BLK, 1] int32
-
-        # Arithmetic lane blends (broadcast jnp.where with mixed [1,128] /
-        # [BLK,1] operands trips a jax-0.9 mlir lowering-cache KeyError):
-        # X = bit ? fx : 1-fx  ==  (1-fx) + bit*(2fx-1).
-        lane = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-        bx = ((lane >> log2f) & 1).astype(jnp.float32)
-        by = ((lane >> (log2f + 1)) & 1).astype(jnp.float32)
-        bz = ((lane >> (log2f + 2)) & 1).astype(jnp.float32)
-        X = (1.0 - fx) + bx * (2.0 * fx - 1.0)
-        Y = (1.0 - fy) + by * (2.0 * fy - 1.0)
-        Z = (1.0 - fz) + bz * (2.0 * fz - 1.0)
-        G = 0.0
-        for f in range(F):
-            gcol = jnp.sum(
-                jnp.where(gl == lvl + f * L, gall, 0.0), axis=1,
-                keepdims=True,
-            )  # [BLK, 1]
-            G = G + gcol * ((lane & (F - 1)) == f).astype(jnp.float32)
-        S = ((lane >> log2w) == slot).astype(jnp.float32)
-        vals_ref[:] = X * Y * Z * G * S
+        vals_ref[:] = _compute_vals(scale, pos_ref, g_ref, slot, lvl, F, L)
 
         blk = vals_ref.shape[0]
         unroll = 8
@@ -433,7 +493,6 @@ def _grad_table_pallas(spec: HashGridSpec, pos, g, interpret: bool):
     P = 128 // (8 * F)  # entries per accumulator row
     log2p = P.bit_length() - 1
     blk = _sample_blk(n)
-    rows_max = max(spec.level_sizes) // P
 
     nblk = n // blk
     # Per-level indices stacked straight into [L, N] (computing the
@@ -444,35 +503,79 @@ def _grad_table_pallas(spec: HashGridSpec, pos, g, interpret: bool):
     slots = (e0T & (P - 1)).reshape(L * nblk, 1, blk)
     scales = jnp.asarray(spec.scales, jnp.float32).reshape(L, 1)
 
-    acc = pl.pallas_call(
-        _make_bwd_kernel(F, L, RUN_COMBINE),
-        grid=(L, nblk),
-        in_specs=[
+    # Prefix split: levels with small accumulators take the one-hot MXU
+    # matmul kernel (MATMUL_ROWS_MAX), the rest the RMW loop.  Level sizes
+    # are nondecreasing (dense res^3 up to the cap), so "small" is a
+    # prefix of the level list.
+    level_rows = [sz // P for sz in spec.level_sizes]
+    assert all(a <= b for a, b in zip(level_rows, level_rows[1:])), (
+        "level sizes must be nondecreasing for the prefix kernel split"
+    )
+    k = sum(1 for r in level_rows if r <= MATMUL_ROWS_MAX)
+    chunk = min(512, blk)
+
+    common = dict(
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )
+
+    def in_specs(lvl_off, rows_space):
+        return [
             pl.BlockSpec((L, 1), lambda l, i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, blk), lambda l, i: (l * nblk + i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, blk), lambda l, i: (l * nblk + i, 0, 0),
+            pl.BlockSpec((1, 1, blk),
+                         lambda l, i: ((l + lvl_off) * nblk + i, 0, 0),
+                         memory_space=rows_space),
+            pl.BlockSpec((1, 1, blk),
+                         lambda l, i: ((l + lvl_off) * nblk + i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((blk, 3), lambda l, i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((blk, F * L), lambda l, i: (i, 0),
                          memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((rows_max, 128), lambda l, i: (l, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((L * rows_max, 128), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((blk, 128), jnp.float32),
-            pltpu.VMEM((8, 128), jnp.float32),   # run accumulator (row 0)
-            pltpu.SMEM((1,), jnp.int32),          # current run's out row
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024
-        ),
-        interpret=interpret,
-    )(scales, rows, slots, pos, g)
-    return unpack_slabs(spec, acc, rows_max)
+        ]
+
+    slabs = [None] * L
+    if k:
+        rows_small = max(level_rows[:k])
+        acc_s = pl.pallas_call(
+            _make_bwd_matmul_kernel(F, L, rows_small, lvl_off=0,
+                                    chunk=chunk),
+            grid=(k, nblk),
+            in_specs=in_specs(0, pltpu.VMEM),
+            out_specs=pl.BlockSpec((rows_small, 128), lambda l, i: (l, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((k * rows_small, 128),
+                                           jnp.float32),
+            scratch_shapes=[pltpu.VMEM((blk, 128), jnp.float32)],
+            **common,
+        )(scales, rows, slots, pos, g)
+        for lvl in range(k):
+            slabs[lvl] = acc_s[lvl * rows_small:
+                               lvl * rows_small + level_rows[lvl]]
+    if k < L:
+        rows_max = max(level_rows[k:])
+        acc_b = pl.pallas_call(
+            _make_bwd_kernel(F, L, RUN_COMBINE, lvl_off=k),
+            grid=(L - k, nblk),
+            in_specs=in_specs(k, pltpu.SMEM),
+            out_specs=pl.BlockSpec((rows_max, 128), lambda l, i: (l, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(((L - k) * rows_max, 128),
+                                           jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((blk, 128), jnp.float32),
+                pltpu.VMEM((8, 128), jnp.float32),  # run acc (row 0)
+                pltpu.SMEM((1,), jnp.int32),        # current run's out row
+            ],
+            **common,
+        )(scales, rows, slots, pos, g)
+        for lvl in range(k, L):
+            slabs[lvl] = acc_b[(lvl - k) * rows_max:
+                               (lvl - k) * rows_max + level_rows[lvl]]
+    return unpack_slabs(spec, slabs)
 
 
 @functools.lru_cache(maxsize=64)
@@ -484,8 +587,9 @@ def _corner_select(c: int, F: int) -> np.ndarray:
     return p
 
 
-def unpack_slabs(spec: HashGridSpec, acc, rows_max: int):
-    """Kernel accumulator [L*rows_max, 128] -> master grad [n_entries, 2].
+def unpack_slabs(spec: HashGridSpec, slabs):
+    """Per-level kernel accumulators [E_l/P, 128] -> master grad
+    [n_entries, F].
 
     master[e, f] = sum_c slab[(e + off_c) mod E, c*F + f]: per corner an
     axis-0 roll of the [E, 8F] slab (row shifts only — NO flat-interleaved
@@ -493,14 +597,11 @@ def unpack_slabs(spec: HashGridSpec, acc, rows_max: int):
     and a [8F, F] selection matmul.
     """
     F = spec.n_features_per_level
-    P = 128 // (8 * F)
     corner_offs = _corner_offsets(spec)
     parts = []
     for lvl in range(spec.n_levels):
         sz = spec.level_sizes[lvl]
-        slab = acc[lvl * rows_max : lvl * rows_max + sz // P].reshape(
-            sz, 8 * F
-        )
+        slab = slabs[lvl].reshape(sz, 8 * F)
         m = 0.0
         for c in range(8):
             off = int(corner_offs[lvl, c]) % sz
