@@ -42,16 +42,20 @@ def measure(encoder: str, args) -> dict:
     from jnerf_tpu.utils.metrics import ThroughputMeter
     from jnerf_tpu.runner import Runner
 
+    name, _, variant = encoder.partition("+")
     enc = {"f4l8": dict(hash_levels=8, hash_features=4),
            "f8l4": dict(hash_levels=4, hash_features=8),
-           "f2l16": {}}[encoder]
-    ngp_synthetic_cfg(
+           "f2l16": {}}[name]
+    cfg = ngp_synthetic_cfg(
         n_images=16,
         H=args.image_size,
         W=args.image_size,
         tot_train_steps=args.warmup + args.steps,
         **enc,
     )
+    if variant:  # "cN": ragged compaction with march budget factor N
+        cfg.compacted_batch = True
+        cfg.march_budget_factor = int(variant[1:] or 1)
 
     runner = Runner()
     meter = ThroughputMeter(window=args.steps)
@@ -92,7 +96,9 @@ def main():
     parser.add_argument("--steps", type=int, default=256)
     parser.add_argument("--image-size", type=int, default=512)
     parser.add_argument("--encoder", default="both",
-                        choices=["f2l16", "f4l8", "f8l4", "both"])
+                        help="f2l16 | f4l8 | f8l4 (optionally '+cN' for "
+                             "ragged compaction with march budget factor "
+                             "N, e.g. f8l4+c4) | both")
     args = parser.parse_args()
 
     import jax
