@@ -70,7 +70,7 @@ def compact_indices(valid: jnp.ndarray, m: int) -> CompactInfo:
     seed = jnp.zeros((m,), jnp.int32).at[starts].max(
         jnp.arange(r, dtype=jnp.int32), mode="drop"
     )
-    comp_ray = jax.lax.cummax(seed, axis=0)  # [M]
+    comp_ray = _cummax_i32(seed)  # [M]
 
     lane = jnp.arange(m, dtype=jnp.int32)
     within = lane - jnp.take(offsets, comp_ray)
@@ -87,16 +87,79 @@ def compact_indices(valid: jnp.ndarray, m: int) -> CompactInfo:
     )
 
 
+_LANE = 128
+
+
+def _blocked(x: jnp.ndarray):
+    """[M] -> [M/128, 128] (M is padded to a lane multiple by callers)."""
+    return x.reshape(-1, _LANE)
+
+
 def _seg_cumprod(x: jnp.ndarray, head: jnp.ndarray) -> jnp.ndarray:
-    """Inclusive cumprod of ``x`` that restarts at each True in ``head``."""
+    """Inclusive cumprod of ``x`` that restarts at each True in ``head``.
+
+    Two-level blocked form: the lane-axis scans of the [M/128, 128] view
+    touch only the minor (unsharded) axis, and the block-carry scan runs
+    on a tiny [M/128] array — a flat associative_scan over a
+    batch-sharded [M] axis made the 8-device GSPMD compile of the train
+    step pathologically slow (>9 min on the virtual CPU mesh) and would
+    chain cross-device collectives at every one of its log2(M) rounds.
+    """
 
     def op(a, b):
         va, fa = a
         vb, fb = b
         return jnp.where(fb, vb, va * vb), fa | fb
 
-    v, _ = jax.lax.associative_scan(op, (x, head))
-    return v
+    n = x.shape[0]
+    pad = (-n) % _LANE
+    if pad:
+        x = jnp.concatenate([x, jnp.ones((pad,), x.dtype)])
+        head = jnp.concatenate([head, jnp.zeros((pad,), bool)])
+    x2, h2 = _blocked(x), _blocked(head)
+    # Within-block inclusive segmented scan (lane axis).
+    wv, wf = jax.lax.associative_scan(op, (x2, h2), axis=1)
+    # Block aggregates -> exclusive per-block prefix (tiny [M/128] scan).
+    aggv, aggf = wv[:, -1], wf[:, -1]
+    pv, _pf = jax.lax.associative_scan(op, (aggv, aggf))
+    pv = jnp.concatenate([jnp.ones((1,), x.dtype), pv[:-1]])
+    # Lanes before their block's first head continue the previous blocks'
+    # running product; lanes at/after a head already restarted.
+    out = jnp.where(wf, wv, pv[:, None] * wv)
+    return out.reshape(-1)[:n]
+
+
+def _cummax_i32(x: jnp.ndarray) -> jnp.ndarray:
+    """Blocked inclusive cummax over [M] int32 (see _seg_cumprod on why
+    the flat form is avoided)."""
+    n = x.shape[0]
+    pad = (-n) % _LANE
+    if pad:
+        x = jnp.concatenate([x, jnp.full((pad,), jnp.iinfo(jnp.int32).min,
+                                         jnp.int32)])
+    x2 = _blocked(x)
+    within = jax.lax.cummax(x2, axis=1)
+    agg = within[:, -1]
+    prefix = jnp.concatenate(
+        [jnp.full((1,), jnp.iinfo(jnp.int32).min, jnp.int32),
+         jax.lax.cummax(agg)[:-1]]
+    )
+    return jnp.maximum(within, prefix[:, None]).reshape(-1)[:n]
+
+
+def _cumsum_blocked(x: jnp.ndarray) -> jnp.ndarray:
+    """Blocked inclusive cumsum over axis 0 of [M, C] (see _seg_cumprod)."""
+    n, c = x.shape
+    pad = (-n) % _LANE
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad, c), x.dtype)])
+    x3 = x.reshape(-1, _LANE, c)
+    within = jnp.cumsum(x3, axis=1)
+    agg = within[:, -1]  # [Nb, C]
+    prefix = jnp.concatenate(
+        [jnp.zeros((1, c), x.dtype), jnp.cumsum(agg, axis=0)[:-1]]
+    )
+    return (within + prefix[:, None, :]).reshape(-1, c)[:n]
 
 
 def render_rays_compact(raw, dts, info: CompactInfo, background=None,
@@ -132,7 +195,7 @@ def render_rays_compact(raw, dts, info: CompactInfo, background=None,
     off = jnp.clip(info.offsets, 0, m)  # [R+1]
     ps = jnp.concatenate(
         [jnp.zeros((1, 3), raw.dtype),
-         jnp.cumsum(weights[:, None] * rgb, axis=0)]
+         _cumsum_blocked(weights[:, None] * rgb)]
     )  # [M+1, 3]
     rgb_ray = jnp.take(ps, off[1:], axis=0) - jnp.take(ps, off[:-1], axis=0)
 

@@ -384,7 +384,10 @@ def _make_bwd_matmul_kernel(F: int, L: int, rows_blk: int, lvl_off: int = 0,
         vals_ref[:] = _compute_vals(scale, pos_ref, g_ref, slot, lvl, F, L)
 
         blk = vals_ref.shape[0]
-        acc = jnp.zeros_like(out_ref)
+        # Accumulate into the VMEM output block per chunk: a live
+        # [rows_blk, 128] f32 accumulator across the unrolled chunk loop
+        # is ~1 MB — far beyond the vector register file — and forces
+        # mass spills.
         for c in range(blk // chunk):
             rv = rows_ref[0, 0, pl.ds(c * chunk, chunk)].reshape(1, chunk)
             oh = (
@@ -393,9 +396,10 @@ def _make_bwd_matmul_kernel(F: int, L: int, rows_blk: int, lvl_off: int = 0,
             v = vals_ref[pl.ds(c * chunk, chunk), :]  # [chunk, 128] f32
             hi = v.astype(jnp.bfloat16)
             lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            acc = acc + jnp.dot(oh, hi, preferred_element_type=jnp.float32)
-            acc = acc + jnp.dot(oh, lo, preferred_element_type=jnp.float32)
-        out_ref[:] += acc
+            out_ref[:] += (
+                jnp.dot(oh, hi, preferred_element_type=jnp.float32)
+                + jnp.dot(oh, lo, preferred_element_type=jnp.float32)
+            )
 
     return kern
 
