@@ -512,6 +512,11 @@ class Runner:
         rgb_out = np.empty((n + chunk, 3), np.float32)
         a_out = np.empty((n + chunk, 1), np.float32)
         key = jax.random.PRNGKey(0)
+        # Dispatch every chunk before fetching any: jax dispatch is async,
+        # so the per-chunk np.asarray of the old loop serialized (host
+        # round-trip + device idle) per chunk — ~2x eval wall at 512^2
+        # on the ~58 ms/dispatch relay.
+        pending = []
         for px in range(0, n, chunk):
             end = px + chunk
             ro, rd = rays_o[px:end], rays_d[px:end]
@@ -519,7 +524,9 @@ class Runner:
                 pad = end - n
                 ro = jnp.concatenate([ro, jnp.ones((pad, 3), ro.dtype)], axis=0)
                 rd = jnp.concatenate([rd, jnp.ones((pad, 3), rd.dtype)], axis=0)
-            rgb, opacity = fn(self.params, self.sampler.state, ro, rd, key)
+            pending.append((px, end, fn(self.params, self.sampler.state,
+                                        ro, rd, key)))
+        for px, end, (rgb, opacity) in pending:
             rgb_out[px:end] = np.asarray(rgb)
             a_out[px:end] = np.asarray(opacity)[:, None]
         return (
