@@ -67,9 +67,14 @@ def main():
 
     for label, knobs in [
         ("padded", {}),
-        ("compact_f1", dict(compacted_batch=True)),
+        # f=1 with M = R*S skips compaction entirely (same as padded).
         ("compact_f2", dict(compacted_batch=True, march_budget_factor=2)),
         ("compact_f4", dict(compacted_batch=True, march_budget_factor=4)),
+        # Speed mode: half the model-tier batch (M=2^17) — trains on
+        # ~2x today's effective samples (the padded path only keeps ~26%
+        # of slots) at ~half the model-tier cost.
+        ("compact_m17_f2", dict(compacted_batch=131072,
+                                march_budget_factor=2)),
     ]:
         cfg = ngp_synthetic_cfg(n_images=16, H=512, W=512,
                                 tot_train_steps=100000, **enc)
