@@ -126,12 +126,13 @@ def main():
     # the headline is a deviated encoder shape, and its claim to flagship
     # status is carried by PSNR@5min as a fraction of the measured ceiling.
     here = os.path.dirname(os.path.abspath(__file__))
+    head_file = head_name.replace("+", "_")  # f8l4+c4 -> f8l4_c4
     try:
         with open(os.path.join(here, "logs",
-                               f"ceiling_{head_name}.json")) as f:
+                               f"ceiling_{head_file}.json")) as f:
             ceil = json.load(f)
         with open(os.path.join(here, "logs", "quality",
-                               f"psnr300_{head_name}.json")) as f:
+                               f"psnr300_{head_file}.json")) as f:
             at5 = json.load(f)
         extra["quality"] = {
             "psnr_at_5min": at5["value"],
