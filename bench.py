@@ -108,9 +108,28 @@ def main():
 
     shapes = (["f4l8", "f2l16", "f8l4"] if args.encoder == "both"
               else [args.encoder])
-    results = {s: measure(s, args) for s in shapes}
+    # Per-config isolation (VERDICT r3 weak #1): round 3's f2l16 Pallas
+    # crash destroyed the already-finished f4l8 headline because every
+    # config was measured before anything was printed.  Now each config is
+    # measured under its own trap, progress is streamed to stderr as it
+    # completes, and a failed config becomes an {"error": ...} entry in
+    # the JSON instead of taking the whole bench down.
+    results = {}
+    for s in shapes:
+        try:
+            results[s] = measure(s, args)
+        except Exception as e:  # noqa: BLE001 — the instrument must survive
+            results[s] = {"error": f"{type(e).__name__}: {e}"[:500]}
+        print(f"[bench] {s}: {json.dumps(results[s])}", file=sys.stderr,
+              flush=True)
 
-    head_name = "f4l8" if "f4l8" in results else shapes[0]
+    ok = [s for s in shapes if "error" not in results[s]]
+    if not ok:
+        print(json.dumps({"metric": "ngp_train_iters_per_s", "value": 0,
+                          "unit": "iters/s", "vs_baseline": 0.0,
+                          "extra": {"errors": results}}))
+        sys.exit(1)
+    head_name = "f4l8" if "f4l8" in ok else ok[0]
     headline = results[head_name]
     extra = {
         "encoder": head_name,
@@ -141,8 +160,11 @@ def main():
                 at5["value"] / ceil["psnr_ceiling"], 3),
             "scene": ceil["scene"],
         }
-    except (OSError, KeyError, ValueError):
-        pass
+    except (OSError, KeyError, ValueError) as e:
+        # A headline with no quality anchor is a defect worth surfacing,
+        # not hiding (round 3 shipped a corrupt psnr300_f8l4.json that the
+        # old bare `pass` would have silently swallowed).
+        extra["quality_error"] = f"{type(e).__name__}: {e}"[:200]
     result = {
         "metric": "ngp_train_iters_per_s",
         "value": headline["iters_per_s"],

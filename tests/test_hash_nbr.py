@@ -106,6 +106,87 @@ def test_prebuilt_nbr_matches(spec, table, pos):
                                rtol=1e-5, atol=1e-6)
 
 
+class TestMosaicBlockShapes:
+    """CPU-runnable regression for the Mosaic lowering invariant.
+
+    Round 3's bench crashed on TPU because f2l16's level 1 has 1521
+    accumulator rows and that raw count was used as a Pallas block shape
+    (Mosaic requires the last two block dims to be divisible by (8, 128)
+    or equal to the array dims).  Interpret mode skips that check, so all
+    125 round-3 tests stayed green while the TPU path was broken.  This
+    asserts the invariant on the shared plan (`bwd_accumulator_plan`) for
+    every bench encoder geometry, without needing a TPU.
+    """
+
+    @staticmethod
+    def _assert_block_ok(block, array):
+        assert len(block) == 2 and len(array) == 2
+        sub, lane = block
+        asub, alane = array
+        assert lane % 128 == 0 or lane == alane, (block, array)
+        assert sub % 8 == 0 or sub == asub, (block, array)
+        # blocks must also cover the array exactly per grid cell
+        assert asub % sub == 0 and alane % lane == 0, (block, array)
+
+    def _bench_spec(self, levels, feats):
+        # mirrors HashEncoder's fast-cap rule (hash_encoder.py:50-57)
+        cap = (8 << 20) // (8 * feats * 2)
+        return HashGridSpec(n_levels=levels, n_features_per_level=feats,
+                            base_resolution=16, log2_hashmap_size=19,
+                            max_level_size=cap)
+
+    @pytest.mark.parametrize("levels,feats", [(16, 2), (8, 4), (4, 8)])
+    def test_bench_geometries(self, levels, feats):
+        from jnerf_tpu.ops.hash_nbr import bwd_accumulator_plan
+
+        plan = bwd_accumulator_plan(self._bench_spec(levels, feats))
+        assert plan["blocks"], "plan must have at least one kernel branch"
+        for block, array in plan["blocks"]:
+            self._assert_block_ok(block, array)
+
+    def test_f2l16_rows_small_padded(self):
+        """The exact round-3 failure: level 1 of the reference f2l16 shape
+        has 1521 rows; the matmul branch's block must be 8-padded."""
+        from jnerf_tpu.ops.hash_nbr import bwd_accumulator_plan
+
+        plan = bwd_accumulator_plan(self._bench_spec(16, 2))
+        assert plan["k"] >= 2  # >=2 matmul levels, so block != array dim
+        assert 1521 in plan["level_rows"]
+        assert plan["rows_small"] % 8 == 0
+        assert plan["rows_small"] >= max(plan["level_rows"][: plan["k"]])
+
+    def test_grad_correct_with_padded_rows(self):
+        """Numeric regression: a spec whose matmul branch needs padding
+        (odd max rows, k>=2) still produces autodiff-exact table grads."""
+        from jnerf_tpu.ops.hash_nbr import (
+            _encode_from_nbr,
+            bwd_accumulator_plan,
+        )
+
+        spec = HashGridSpec(n_levels=6, base_resolution=4,
+                            log2_hashmap_size=19, desired_resolution=64.0)
+        plan = bwd_accumulator_plan(spec)
+        assert plan["k"] >= 2
+        assert max(plan["level_rows"][: plan["k"]]) % 8 != 0  # needs pad
+
+        t = jax.random.normal(jax.random.PRNGKey(0),
+                              (spec.n_entries, 2), jnp.float32) * 0.1
+        p = jax.random.uniform(jax.random.PRNGKey(1), (256, 3), jnp.float32)
+
+        def loss_ref(t):
+            nbr = build_nbr_table(spec, t)
+            return jnp.sum(jnp.sin(_encode_from_nbr(spec, nbr, p)))
+
+        def loss_fast(t):
+            return jnp.sum(jnp.sin(hash_encode_nbr(spec, t, p)))
+
+        g_ref = jax.grad(loss_ref)(t)
+        g_fast = jax.grad(loss_fast)(t)
+        np.testing.assert_allclose(
+            np.asarray(g_fast), np.asarray(g_ref), rtol=5e-2, atol=5e-3
+        )
+
+
 class TestF4L8:
     """F=4 features x 8 levels (NGP paper table 2's alternative config —
     halves the (sample, level) gather/scatter count at equal encoder
