@@ -147,11 +147,18 @@ def main():
     here = os.path.dirname(os.path.abspath(__file__))
     head_file = head_name.replace("+", "_")  # f8l4+c4 -> f8l4_c4
     try:
-        with open(os.path.join(here, "logs",
-                               f"ceiling_{head_file}.json")) as f:
+        # Prefer the round-4 hard-scene artifacts (the plain scene
+        # saturated at its ceiling and stopped discriminating).
+        for sfx in ("_hard", ""):
+            cpath = os.path.join(here, "logs",
+                                 f"ceiling_{head_file}{sfx}.json")
+            qpath = os.path.join(here, "logs", "quality",
+                                 f"psnr300_{head_file}{sfx}.json")
+            if os.path.exists(cpath) and os.path.exists(qpath):
+                break
+        with open(cpath) as f:
             ceil = json.load(f)
-        with open(os.path.join(here, "logs", "quality",
-                               f"psnr300_{head_file}.json")) as f:
+        with open(qpath) as f:
             at5 = json.load(f)
         extra["quality"] = {
             "psnr_at_5min": at5["value"],

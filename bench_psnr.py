@@ -44,6 +44,14 @@ def main():
     ap.add_argument("--compact", action="store_true",
                     help="ragged sample compaction (ops.compact): model "
                          "tier on the kept samples only")
+    ap.add_argument("--scene", default="spheres",
+                    choices=["spheres", "hard"],
+                    help="'hard' = round-4 quality scene (textured + thin "
+                         "structure, SSAA GT); the plain scene saturated")
+    ap.add_argument("--ssaa", type=int, default=0,
+                    help="GT supersampling (0 = scene default: 1/2)")
+    ap.add_argument("--n-val", type=int, default=0,
+                    help="validation views (0 = scene default: 2/4)")
     ap.add_argument("--march-factor", type=int, default=1,
                     help="over-provision the per-ray march budget by this "
                          "factor (compaction keeps model cost at M)")
@@ -81,6 +89,9 @@ def main():
             H=args.image_size,
             W=args.image_size,
             tot_train_steps=1 << 30,
+            scene=args.scene,
+            ssaa=args.ssaa or (2 if args.scene == "hard" else 1),
+            n_val=args.n_val or (4 if args.scene == "hard" else 2),
             **enc,
         )
     cfg.hash_indexing = args.hash_indexing
@@ -125,7 +136,10 @@ def main():
     # if no ceiling has been measured yet, vs_baseline is null.
     ceiling = None
     here = os.path.dirname(os.path.abspath(__file__))
-    for name in (f"ceiling_{args.encoder}.json", "ceiling.json"):
+    suffix = "" if args.scene == "spheres" else f"_{args.scene}"
+    names = ([f"ceiling_{args.encoder}{suffix}.json"] if suffix
+             else [f"ceiling_{args.encoder}.json", "ceiling.json"])
+    for name in names:
         ceiling_path = os.path.join(here, "logs", name)
         if os.path.exists(ceiling_path):
             with open(ceiling_path) as f:
@@ -149,7 +163,7 @@ def main():
                         if args.compact else None),
             "per_view_psnr": [round(p, 2) for p in psnrs],
             "scene": ("synthetic-spheres-tiny" if args.tiny else
-                      f"synthetic-spheres-{args.image_size}") +
+                      f"synthetic-{args.scene}-{args.image_size}") +
                      " (lego unfetchable: zero egress)",
             "backend": jax.default_backend(),
         },

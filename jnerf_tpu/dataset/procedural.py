@@ -10,6 +10,8 @@ matching lego's ray/occupancy statistics, not its pixels.
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -36,6 +38,8 @@ class SyntheticSpheresDataset:
         have_img=True,
         root_dir=None,  # accepted for config-surface parity, unused
         preload_shuffle=True,
+        scene="spheres",
+        ssaa=1,
     ):
         del root_dir, preload_shuffle
         self.mode = mode
@@ -50,16 +54,18 @@ class SyntheticSpheresDataset:
         self.resolution = [self.W, self.H]
 
         rng = np.random.default_rng(seed + {"train": 0, "val": 1, "test": 2}[mode])
-        images, transforms = [], []
+        poses = []
         for i in range(self.n_images):
             theta = 2 * np.pi * i / self.n_images + rng.uniform(-0.1, 0.1)
             phi = np.radians(rng.uniform(-20, 50))
             eye = 4.0 * np.array(
                 [np.cos(theta) * np.cos(phi), np.sin(theta) * np.cos(phi), np.sin(phi)]
             )
-            pose = _look_at_pose(eye)
-            images.append(render_analytic(pose, self.H, self.W, camera_angle_x))
-            transforms.append(matrix_nerf2ngp(pose, self.scale, self.offset))
+            poses.append(_look_at_pose(eye))
+        images = self._render_cached(poses, scene, int(ssaa),
+                                     camera_angle_x, seed)
+        transforms = [matrix_nerf2ngp(p, self.scale, self.offset)
+                      for p in poses]
 
         focal = fov_to_focal_length(self.W, np.degrees(camera_angle_x))
         self.focal_lengths = jnp.asarray(
@@ -77,6 +83,34 @@ class SyntheticSpheresDataset:
         )
         self.transforms_gpu = jnp.asarray(np.stack(transforms))
         self._rng = np.random.default_rng(seed)
+
+    def _render_cached(self, poses, scene, ssaa, camera_angle_x, seed):
+        """Render the pose list, with an npz disk cache for expensive
+        variants (the hard scene at SSAA is ~100 objects x ssaa^2 subpixel
+        rays — minutes of numpy per quality run without the cache)."""
+        key = None
+        if scene != "spheres" or ssaa > 1:
+            import hashlib
+
+            h = hashlib.sha1(
+                repr((scene, ssaa, self.mode, self.n_images, self.H, self.W,
+                      round(camera_angle_x, 9), seed,
+                      np.round(np.stack(poses), 7).tolist())).encode()
+            ).hexdigest()[:16]
+            cache_dir = os.path.join(
+                os.environ.get("JNERF_SCENE_CACHE",
+                               os.path.join("logs", "scene_cache")))
+            key = os.path.join(cache_dir, f"{scene}_{h}.npz")
+            if os.path.exists(key):
+                return list(np.load(key)["images"])
+        images = [render_analytic(p, self.H, self.W, camera_angle_x,
+                                  scene=scene, ssaa=ssaa) for p in poses]
+        if key is not None:
+            os.makedirs(os.path.dirname(key), exist_ok=True)
+            tmp = key[:-4] + f".{os.getpid()}.tmp.npz"
+            np.savez_compressed(tmp, images=np.stack(images))
+            os.replace(tmp, key)  # atomic vs concurrent quality runs
+        return images
 
     def __next__(self):
         idx = jnp.asarray(

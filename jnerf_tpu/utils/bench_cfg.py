@@ -26,8 +26,15 @@ def ngp_synthetic_cfg(
     fp16=True,
     seed=42,
     use_fully=True,
+    scene="spheres",
+    ssaa=1,
+    n_val=2,
 ) -> Config:
-    """Install and return the global config for a synthetic NGP run."""
+    """Install and return the global config for a synthetic NGP run.
+
+    scene="hard" + ssaa>=2 selects the round-4 quality scene (textured
+    spheres + thin helix/ring, anti-aliased GT) — the plain scene
+    saturated at its 30.13 dB ceiling (VERDICT r3 #4)."""
     cfg = get_cfg()
     cfg.clear()
     wrap = Config._wrap
@@ -37,6 +44,8 @@ def ngp_synthetic_cfg(
         H=H,
         W=W,
         batch_size=n_rays_per_batch,
+        scene=scene,
+        ssaa=ssaa,
     )
     cfg.update(
         wrap(dict(
@@ -65,7 +74,7 @@ def ngp_synthetic_cfg(
             ),
             dataset=dict(
                 train=dict(ds, mode="train"),
-                val=dict(ds, mode="val", n_images=2),
+                val=dict(ds, mode="val", n_images=n_val),
                 test=dict(ds, mode="test", n_images=2),
             ),
             tot_train_steps=tot_train_steps,

@@ -128,3 +128,55 @@ class TestFoxRealData:
         assert ds.metadata[0, 0] != 0  # k1 distortion present
         _ids, rays_o, rays_d, rgba = next(ds)
         assert bool(jnp.isfinite(rays_d).all())
+
+
+class TestHardScene:
+    """Round-4 quality scene (VERDICT r3 #4): textured spheres + thin
+    helix/ring, SSAA ground truth."""
+
+    def test_ssaa_premultiplied_box_filter(self):
+        """SSAA output must equal a box filter of the subpixel render in
+        PREMULTIPLIED space (the trainer composites rgb*a + bg*(1-a), so
+        that is the space where averaging is linear)."""
+        from jnerf_tpu.dataset.synthetic import _look_at_pose, render_analytic
+
+        eye = 4.0 * np.array([0.7, 0.55, 0.45])
+        pose = _look_at_pose(eye / np.linalg.norm(eye) * 4.0)
+        hi = render_analytic(pose, 64, 64, 0.69, scene="hard", ssaa=1)
+        # render at 2x resolution manually and box filter
+        hi2 = render_analytic(pose, 128, 128, 0.69, scene="hard", ssaa=1)
+        premul = hi2[..., :3] * hi2[..., 3:]
+        premul_ds = premul.reshape(64, 2, 64, 2, 3).mean(axis=(1, 3))
+        a_ds = hi2[..., 3].reshape(64, 2, 64, 2).mean(axis=(1, 3))
+        aa = render_analytic(pose, 64, 64, 0.69, scene="hard", ssaa=2)
+        np.testing.assert_allclose(aa[..., 3], a_ds, atol=1e-6)
+        np.testing.assert_allclose(aa[..., :3] * aa[..., 3:], premul_ds,
+                                   atol=1e-5)
+        # anti-aliased edges: alpha must take fractional values
+        frac = (aa[..., 3] > 0.01) & (aa[..., 3] < 0.99)
+        assert frac.sum() > 20
+        # and plain ssaa=1 must be binary
+        assert set(np.unique(hi[..., 3])) <= {0.0, 1.0}
+
+    def test_hard_scene_has_texture_and_thin_structure(self):
+        from jnerf_tpu.dataset.synthetic import _hard_scene
+
+        centers, radii, colors, freqs, phases = _hard_scene()
+        assert (freqs > 0).sum() >= 4  # textured objects
+        assert (radii <= 0.05).sum() >= 90  # thin helix + ring members
+        assert len(radii) == centers.shape[0] == colors.shape[0]
+
+    def test_dataset_cache_roundtrip(self, tmp_path, monkeypatch):
+        """The hard scene renders minutes of numpy at quality scale; the
+        npz cache must return bit-identical images on reload."""
+        from jnerf_tpu.dataset.procedural import SyntheticSpheresDataset
+
+        monkeypatch.setenv("JNERF_SCENE_CACHE", str(tmp_path))
+        ds1 = SyntheticSpheresDataset(batch_size=16, mode="val", n_images=2,
+                                      H=32, W=32, scene="hard", ssaa=2)
+        cached = list(tmp_path.glob("hard_*.npz"))
+        assert len(cached) == 1
+        ds2 = SyntheticSpheresDataset(batch_size=16, mode="val", n_images=2,
+                                      H=32, W=32, scene="hard", ssaa=2)
+        np.testing.assert_array_equal(np.asarray(ds1.image_data),
+                                      np.asarray(ds2.image_data))

@@ -27,10 +27,24 @@ def main():
     ap.add_argument("--image-size", type=int, default=512)
     ap.add_argument("--encoder", default="f2l16",
                     choices=["f2l16", "f4l8", "f8l4"])
+    ap.add_argument("--scene", default="spheres",
+                    choices=["spheres", "hard"],
+                    help="'hard' = round-4 quality scene (textured spheres "
+                         "+ thin helix/ring, SSAA GT): the plain scene "
+                         "saturated at its 30.13 dB ceiling")
+    ap.add_argument("--ssaa", type=int, default=0,
+                    help="GT supersampling factor (0 = scene default: "
+                         "1 for spheres, 2 for hard)")
+    ap.add_argument("--n-val", type=int, default=0,
+                    help="validation views (0 = scene default: 2/4)")
+    ap.add_argument("--compact", action="store_true")
+    ap.add_argument("--march-factor", type=int, default=2)
     ap.add_argument("--out", default=None,
                     help="json path (default logs/ceiling.json for f2l16, "
-                         "logs/ceiling_<encoder>.json otherwise)")
+                         "logs/ceiling_<encoder>[_hard].json otherwise)")
     args = ap.parse_args()
+    ssaa = args.ssaa or (2 if args.scene == "hard" else 1)
+    n_val = args.n_val or (4 if args.scene == "hard" else 2)
 
     import jax
     import numpy as np
@@ -42,15 +56,19 @@ def main():
     enc = {"f4l8": dict(hash_levels=8, hash_features=4),
            "f8l4": dict(hash_levels=4, hash_features=8),
            "f2l16": {}}[args.encoder]
-    ngp_synthetic_cfg(
+    cfg = ngp_synthetic_cfg(
         n_images=16, H=args.image_size, W=args.image_size,
-        tot_train_steps=args.steps, **enc,
+        tot_train_steps=args.steps, scene=args.scene, ssaa=ssaa,
+        n_val=n_val, **enc,
     )
+    if args.compact:
+        cfg.compacted_batch = True
+        cfg.march_budget_factor = args.march_factor
     runner = Runner()
 
     def eval_psnr():
         ps = []
-        for img_id in range(min(2, runner.dataset["val"].n_images)):
+        for img_id in range(min(n_val, runner.dataset["val"].n_images)):
             img, _a, tar = runner.render_img(dataset_mode="val", img_id=img_id)
             ps.append(float(mse2psnr(img2mse(
                 np.asarray(img, np.float32), np.asarray(tar, np.float32)))))
@@ -71,10 +89,12 @@ def main():
               f"({time.perf_counter() - t0:.0f}s)", flush=True)
 
     final_psnr, per_view = eval_psnr()
+    suffix = "" if args.scene == "spheres" else f"_{args.scene}"
+    base = ("ceiling.json" if args.encoder == "f2l16" and not suffix
+            else f"ceiling_{args.encoder}{suffix}.json")
     out_path = args.out or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "logs",
-        "ceiling.json" if args.encoder == "f2l16"
-        else f"ceiling_{args.encoder}.json",
+        base,
     )
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     # The ceiling is the BEST converged eval, not the last one: long runs
@@ -87,7 +107,10 @@ def main():
         "per_view_psnr": per_view,
         "iters": args.steps,
         "encoder": args.encoder,
-        "scene": f"synthetic-spheres-{args.image_size}",
+        "compact": (f"m=target,f={args.march_factor}"
+                    if args.compact else None),
+        "scene": f"synthetic-{args.scene}-{args.image_size}"
+                 + (f"-ssaa{ssaa}" if ssaa > 1 else ""),
         "trajectory": trajectory,
         "elapsed_s": round(time.perf_counter() - t0, 1),
         "backend": jax.default_backend(),

@@ -51,6 +51,8 @@ def main():
                     help="warm-up training steps before timing (so the "
                          "grid/batch shapes reach steady state)")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--only", default="",
+                    help="comma-separated config labels to run")
     args = ap.parse_args()
 
     import jax
@@ -65,7 +67,7 @@ def main():
            "f8l4": dict(hash_levels=4, hash_features=8),
            "f2l16": {}}[args.encoder]
 
-    for label, knobs in [
+    all_configs = [
         ("padded", {}),
         # f=1 with M = R*S skips compaction entirely (same as padded).
         ("compact_f2", dict(compacted_batch=True, march_budget_factor=2)),
@@ -75,7 +77,20 @@ def main():
         # of slots) at ~half the model-tier cost.
         ("compact_m17_f2", dict(compacted_batch=131072,
                                 march_budget_factor=2)),
-    ]:
+        # Speed mode, march factor 1: same [R, S] march as padded, model
+        # tier on M = 2^17 / 2^16 kept samples.  At the measured ~26%
+        # occupancy, M=2^16 trains on ~the same REAL samples as the padded
+        # 2^18-slot batch at ~1/4 its model-tier cost (round-4 flagship
+        # candidate; slight global-cap truncation like the reference's).
+        ("compact_m17_f1", dict(compacted_batch=131072,
+                                march_budget_factor=1)),
+        ("compact_m16_f1", dict(compacted_batch=65536,
+                                march_budget_factor=1)),
+    ]
+    if args.only:
+        names = set(args.only.split(","))
+        all_configs = [c for c in all_configs if c[0] in names]
+    for label, knobs in all_configs:
         cfg = ngp_synthetic_cfg(n_images=16, H=512, W=512,
                                 tot_train_steps=100000, **enc)
         for k, v in knobs.items():
