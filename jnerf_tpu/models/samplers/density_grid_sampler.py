@@ -116,6 +116,12 @@ class DensityGridSampler:
         # RaySamples explicitly instead.
         self._last_samples: RaySamples | None = None
         self.state = None  # set via init_state()
+        # Optional jax.sharding.Mesh (set by Runner.mesh): the density
+        # sweep shards its cell axis over it — the sweep is embarrassingly
+        # parallel over cells, and leaving it replicated makes every chip
+        # redo the full 2M-cell refresh (measured 284 s on the 8-device
+        # virtual CPU mesh = the MULTICHIP_r03 timeout).
+        self.mesh = None
 
     # ----------------------------------------------------------------- state
     def _samples_for_rays(self, n_rays: int) -> int:
@@ -280,6 +286,8 @@ class DensityGridSampler:
         (a python chunk loop lets XLA keep every chunk's 2 GB of gather
         temporaries live at once — observed HBM OOM); the packed hash
         table is hoisted out so it builds once, not per chunk."""
+        from jnerf_tpu.parallel import shard_rays
+
         n_total = warped.shape[0]
         chunk = min(n_total, 1 << 17)
         packed = (
@@ -290,12 +298,15 @@ class DensityGridSampler:
             density_fn = lambda p: self.model.density(params, p, packed=packed)
         else:
             density_fn = lambda p: self.model.density(params, p)
+        # Shard each chunk's cell axis over the mesh (constraint INSIDE
+        # the mapped body: lax.map scans its leading axis sequentially, so
+        # sharding that axis instead would just force an all-gather).
         if n_total % chunk == 0 and n_total // chunk > 1:
             return jax.lax.map(
-                lambda p: density_fn(p)[:, 0],
+                lambda p: density_fn(shard_rays(p, self.mesh))[:, 0],
                 warped.reshape(n_total // chunk, chunk, 3),
             ).reshape(-1)
-        return density_fn(warped)[:, 0]
+        return density_fn(shard_rays(warped, self.mesh))[:, 0]
 
     def _sweep_refresh(self, params, state, grid, key, first_step: bool):
         """Dense alternating-half refresh (see update_density_grid_fn).

@@ -658,6 +658,38 @@ def unpack_slabs(spec: HashGridSpec, slabs):
     return jnp.concatenate(parts, axis=0)
 
 
+def _grad_table_xla(spec: HashGridSpec, pos, g):
+    """Pure-XLA backward: vjp of the (table-linear) encode at a zero table.
+
+    The encode is exactly linear in ``table`` (gather + position-only
+    blend weights + constant assembly matmul), so its vjp is independent
+    of the table value and autodiff of the plain forward — in f32, no
+    bf16 table cast — is the exact adjoint.  This is the CPU path: Pallas
+    interpret mode emulates the RMW kernel's (level, block) grid cell by
+    cell and costs MINUTES per step at flagship shapes (the
+    MULTICHIP_r03 timeout), while XLA:CPU scatter-adds are fast.  It is
+    also the independent reference the grad tests compare the TPU
+    kernels against (tests/test_hash_nbr.py loss_ref).
+    """
+    zeros = jnp.zeros((spec.n_entries, spec.n_features_per_level),
+                      jnp.float32)
+    _, vjp = jax.vjp(
+        lambda t: _encode_from_nbr(spec, build_nbr_table(spec, t), pos),
+        zeros,
+    )
+    return vjp(g)[0]
+
+
+# Test hook: set JNERF_PALLAS_INTERPRET=1 to route the CPU backward
+# through the Pallas kernels in interpret mode anyway, so kernel logic
+# keeps CPU coverage (the Mosaic block-shape invariant itself is covered
+# shape-only by bwd_accumulator_plan tests).
+def _force_interpret() -> bool:
+    import os
+
+    return os.environ.get("JNERF_PALLAS_INTERPRET", "") == "1"
+
+
 # ------------------------------------------------------------------- public
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _encode_nbr_core(spec, table, pos):
@@ -670,6 +702,8 @@ def _encode_nbr_fwd(spec, table, pos):
 
 
 def _encode_nbr_bwd(spec, pos, g):
+    if _is_cpu() and not _force_interpret():
+        return _grad_table_xla(spec, pos, g), None
     return _grad_table_pallas(spec, pos, g, interpret=_is_cpu()), None
 
 

@@ -111,6 +111,19 @@ class Runner:
         # jnerf_tpu.parallel).  None => single-device.
         self.mesh = None
 
+    @property
+    def mesh(self):
+        return self._mesh
+
+    @mesh.setter
+    def mesh(self, m):
+        # Propagate to the sampler: the density-sweep refresh shards its
+        # cell axis over the same mesh (otherwise every device redoes the
+        # full 2M-cell sweep — 284 s on the virtual CPU mesh, the
+        # MULTICHIP_r03 timeout).
+        self._mesh = m
+        self.sampler.mesh = m
+
     # ------------------------------------------------------------- jit build
     def _train_data(self):
         """Device-resident dataset arrays passed as jit ARGUMENTS — large
@@ -168,13 +181,20 @@ class Runner:
                 from jnerf_tpu.ops.compact import (
                     compact_indices, render_rays_compact,
                 )
+                from jnerf_tpu.parallel import shard_rays as shard_rows
 
                 info = compact_indices(samples.valid, m_compact)
-                pos_c = samples.positions.reshape(-1, 3)[info.idx]
-                dirs_c = samples.dirs.reshape(-1, 3)[info.idx]
-                dts_c = jnp.where(
+                # Pin the compacted model inputs to a sharded layout: the
+                # gather output's sharding is otherwise unconstrained and
+                # GSPMD tends to replicate it — i.e. every device runs
+                # the FULL model tier (the dominant cost of the step).
+                pos_c = shard_rows(
+                    samples.positions.reshape(-1, 3)[info.idx], mesh)
+                dirs_c = shard_rows(
+                    samples.dirs.reshape(-1, 3)[info.idx], mesh)
+                dts_c = shard_rows(jnp.where(
                     info.slot_valid, samples.dts.reshape(-1)[info.idx], 0.0
-                )
+                ), mesh)
 
             def loss_fn(p):
                 if use_compact:

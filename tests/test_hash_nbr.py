@@ -16,6 +16,14 @@ from jnerf_tpu.ops.hash_nbr import (
 )
 
 
+@pytest.fixture(autouse=True)
+def _interpret_kernels(monkeypatch):
+    """On CPU the production backward is the XLA linear-adjoint fallback;
+    force interpret-mode Pallas here so the kernel logic keeps CPU
+    coverage (the fallback's equivalence has its own test below)."""
+    monkeypatch.setenv("JNERF_PALLAS_INTERPRET", "1")
+
+
 @pytest.fixture()
 def spec():
     return HashGridSpec(n_levels=4, base_resolution=4, log2_hashmap_size=10,
@@ -185,6 +193,28 @@ class TestMosaicBlockShapes:
         np.testing.assert_allclose(
             np.asarray(g_fast), np.asarray(g_ref), rtol=5e-2, atol=5e-3
         )
+
+
+def test_xla_fallback_matches_pallas(spec, table, pos, monkeypatch):
+    """The CPU production backward (_grad_table_xla, linear-adjoint vjp)
+    must match the Pallas kernel path (interpret mode here)."""
+    from jnerf_tpu.ops.hash_nbr import _grad_table_pallas, _grad_table_xla
+
+    def loss(t):
+        return jnp.sum(jnp.sin(hash_encode_nbr(spec, t, pos)))
+
+    # upstream grad of sum(sin(out)) at the forward output
+    out = hash_encode_nbr(spec, table, pos)
+    g = jnp.cos(out)
+    g_xla = _grad_table_xla(spec, pos, g)
+    g_pl = _grad_table_pallas(spec, pos, g, interpret=True)
+    np.testing.assert_allclose(np.asarray(g_xla), np.asarray(g_pl),
+                               rtol=5e-2, atol=5e-3)
+    # and the dispatching custom-vjp path agrees with both on CPU
+    monkeypatch.delenv("JNERF_PALLAS_INTERPRET", raising=False)
+    g_dispatch = jax.grad(loss)(table)
+    np.testing.assert_allclose(np.asarray(g_dispatch), np.asarray(g_xla),
+                               rtol=5e-2, atol=5e-3)
 
 
 class TestF4L8:
