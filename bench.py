@@ -53,9 +53,23 @@ def measure(encoder: str, args) -> dict:
         tot_train_steps=args.warmup + args.steps,
         **enc,
     )
-    if variant:  # "cN": ragged compaction with march budget factor N
+    if variant:
+        # Compaction grammar: "c<N>" = compact at M=target with march
+        # budget factor N (round-3 compat); "m<B>" = compact at M=2^B;
+        # "f<N>" = march budget factor N.  E.g. "f4l8+m16f1" is the
+        # round-4 speed mode: model tier on 2^16 kept samples (~ the
+        # real-sample count the padded 2^18-slot batch carries at its
+        # measured ~26% occupancy) at ~1/4 the model-tier cost.
+        import re
+
         cfg.compacted_batch = True
-        cfg.march_budget_factor = int(variant[1:] or 1)
+        for tok, val in re.findall(r"([cmf])(\d+)", variant):
+            if tok == "c":
+                cfg.march_budget_factor = int(val)
+            elif tok == "m":
+                cfg.compacted_batch = 1 << int(val)
+            elif tok == "f":
+                cfg.march_budget_factor = int(val)
 
     runner = Runner()
     meter = ThroughputMeter(window=args.steps)

@@ -55,6 +55,9 @@ def main():
     ap.add_argument("--march-factor", type=int, default=1,
                     help="over-provision the per-ray march budget by this "
                          "factor (compaction keeps model cost at M)")
+    ap.add_argument("--compact-m", type=int, default=0,
+                    help="log2 of the compacted model batch M (0 = target "
+                         "batch size); e.g. 16 for the m16 speed mode")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--tiny", action="store_true",
                     help="harness smoke test: tiny scene/model (CPU-speed)")
@@ -98,7 +101,7 @@ def main():
     if args.fast_cap:
         cfg.hashmap_fast_cap = args.fast_cap
     if args.compact:
-        cfg.compacted_batch = True
+        cfg.compacted_batch = (1 << args.compact_m) if args.compact_m else True
         cfg.march_budget_factor = args.march_factor
     runner = Runner()
     freq = runner.sampler.update_den_freq
@@ -159,7 +162,8 @@ def main():
             "hash_indexing": args.hash_indexing,
             "encoder": args.encoder,
             "fast_cap": args.fast_cap or None,
-            "compact": (f"m=target,f={args.march_factor}"
+            "compact": ((f"m=2^{args.compact_m}" if args.compact_m
+                         else "m=target") + f",f={args.march_factor}"
                         if args.compact else None),
             "per_view_psnr": [round(p, 2) for p in psnrs],
             "scene": ("synthetic-spheres-tiny" if args.tiny else

@@ -39,6 +39,8 @@ def main():
                     help="validation views (0 = scene default: 2/4)")
     ap.add_argument("--compact", action="store_true")
     ap.add_argument("--march-factor", type=int, default=2)
+    ap.add_argument("--compact-m", type=int, default=0,
+                    help="log2 of the compacted model batch M (0 = target)")
     ap.add_argument("--out", default=None,
                     help="json path (default logs/ceiling.json for f2l16, "
                          "logs/ceiling_<encoder>[_hard].json otherwise)")
@@ -62,7 +64,7 @@ def main():
         n_val=n_val, **enc,
     )
     if args.compact:
-        cfg.compacted_batch = True
+        cfg.compacted_batch = (1 << args.compact_m) if args.compact_m else True
         cfg.march_budget_factor = args.march_factor
     runner = Runner()
 
@@ -107,7 +109,8 @@ def main():
         "per_view_psnr": per_view,
         "iters": args.steps,
         "encoder": args.encoder,
-        "compact": (f"m=target,f={args.march_factor}"
+        "compact": ((f"m=2^{args.compact_m}" if args.compact_m
+                     else "m=target") + f",f={args.march_factor}"
                     if args.compact else None),
         "scene": f"synthetic-{args.scene}-{args.image_size}"
                  + (f"-ssaa{ssaa}" if ssaa > 1 else ""),
