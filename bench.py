@@ -5,17 +5,19 @@ RTX 3090 (`/root/reference/README.md:114`, BASELINE.md) at ngp_base scale:
 4096 rays/batch, 2^18 target samples/batch, 128^3 x 5-cascade occupancy
 grid, bf16 MLPs.
 
-Three encoder shapes are measured (VERDICT r2 task 3):
-- f4l8: the shipped TPU-first flagship (8 levels x 4 features, same
-  32-wide output as the reference, half the (sample,level) gather/scatter
-  pairs) — the headline `value`, with its quality anchored to the measured
-  scene ceiling (logs/ceiling_f4l8.json, PARITY.md) and attached to the
-  JSON as `quality` when those logs exist;
-- f2l16: the reference's 16 levels x 2 features (`ngp_base.py:62-70`) —
-  the reference-shape figure, always in `extra` (its hash backward is
-  latency-floored at ~4.2M x 12.5 ns RMWs on this chip, docs/DESIGN.md
-  round-3 ledger);
-- f8l4: the wider/shallower variant, in `extra` with its own ceiling.
+Four configs are measured (round 4: compaction is the default, VERDICT
+r3 #3 — the reference also trains on compacted samples,
+`density_grid_sampler.py:136-167`):
+- f8l4+m16f1: the TPU-first flagship/headline — 4 levels x 8 features
+  (same 32-wide encoder output as the reference, 1/4 the (sample,level)
+  gather/scatter pairs) with ragged compaction at M=2^16 kept samples
+  (~= the real-sample count the padded 2^18-slot batch carries at its
+  measured ~26% occupancy).  Quality anchored to the measured hard-scene
+  ceiling, attached as `quality` when the logs exist;
+- f4l8+m16f1 and f2l16+m16f1: the 8x4 and reference-shape 16x2
+  geometries under the same compaction, in `extra`;
+- f2l16: the reference's exact padded shape (`ngp_base.py:62-70`), for
+  round-over-round continuity.
 
 The blender-lego fixture cannot be downloaded here (zero egress), so the
 run uses the in-memory SyntheticSpheresDataset whose post-convergence
@@ -32,6 +34,24 @@ import os
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_ITERS_PER_S = 133.0  # JNeRF-NGP on RTX 3090 (README.md:114)
+
+
+def parse_variant(variant: str) -> dict:
+    """Compaction variant grammar -> config overrides.
+
+    "c<N>" = compact at M=target, march budget factor N (round-3 compat);
+    "m<B>" = compact at M=2^B; "f<N>" = march budget factor N.
+    E.g. "m16f1" is the round-4 speed mode.
+    """
+    import re
+
+    knobs = {"compacted_batch": True}
+    for tok, val in re.findall(r"([cmf])(\d+)", variant):
+        if tok == "m":
+            knobs["compacted_batch"] = 1 << int(val)
+        else:  # c and f both set the march budget factor
+            knobs["march_budget_factor"] = int(val)
+    return knobs
 
 
 def measure(encoder: str, args) -> dict:
@@ -54,22 +74,8 @@ def measure(encoder: str, args) -> dict:
         **enc,
     )
     if variant:
-        # Compaction grammar: "c<N>" = compact at M=target with march
-        # budget factor N (round-3 compat); "m<B>" = compact at M=2^B;
-        # "f<N>" = march budget factor N.  E.g. "f4l8+m16f1" is the
-        # round-4 speed mode: model tier on 2^16 kept samples (~ the
-        # real-sample count the padded 2^18-slot batch carries at its
-        # measured ~26% occupancy) at ~1/4 the model-tier cost.
-        import re
-
-        cfg.compacted_batch = True
-        for tok, val in re.findall(r"([cmf])(\d+)", variant):
-            if tok == "c":
-                cfg.march_budget_factor = int(val)
-            elif tok == "m":
-                cfg.compacted_batch = 1 << int(val)
-            elif tok == "f":
-                cfg.march_budget_factor = int(val)
+        for k, v in parse_variant(variant).items():
+            setattr(cfg, k, v)
 
     runner = Runner()
     meter = ThroughputMeter(window=args.steps)
@@ -120,8 +126,13 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
-    shapes = (["f4l8", "f2l16", "f8l4"] if args.encoder == "both"
-              else [args.encoder])
+    # Round-4 default set: compaction ON (m16f1 speed mode — model tier on
+    # 2^16 kept samples ~= the real-sample count the padded 2^18-slot
+    # batch carries at its measured ~26% occupancy; the reference trains
+    # on compacted samples by default, density_grid_sampler.py:136-167).
+    # Padded baselines live in logs/quality/compact_ab_*.jsonl.
+    shapes = (["f8l4+m16f1", "f4l8+m16f1", "f2l16+m16f1", "f2l16"]
+              if args.encoder == "both" else [args.encoder])
     # Per-config isolation (VERDICT r3 weak #1): round 3's f2l16 Pallas
     # crash destroyed the already-finished f4l8 headline because every
     # config was measured before anything was printed.  Now each config is
@@ -143,7 +154,7 @@ def main():
                           "unit": "iters/s", "vs_baseline": 0.0,
                           "extra": {"errors": results}}))
         sys.exit(1)
-    head_name = "f4l8" if "f4l8" in ok else ok[0]
+    head_name = ok[0]  # list order = headline preference
     headline = results[head_name]
     extra = {
         "encoder": head_name,

@@ -165,3 +165,17 @@ def test_run_net_runner_dispatch(fresh_cfg):
     # explicit config key beats inference
     get_cfg().runner = "MipRunner"
     assert select_runner_name(get_cfg(), "novel_view") == "MipRunner"
+
+
+def test_bench_variant_grammar():
+    """Compaction variant tokens -> config overrides (round 4)."""
+    import importlib.util, os
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    assert bench.parse_variant("c2") == {
+        "compacted_batch": True, "march_budget_factor": 2}
+    assert bench.parse_variant("m16f1") == {
+        "compacted_batch": 65536, "march_budget_factor": 1}
+    assert bench.parse_variant("m17") == {"compacted_batch": 131072}
