@@ -58,6 +58,11 @@ def main():
     ap.add_argument("--compact-m", type=int, default=0,
                     help="log2 of the compacted model batch M (0 = target "
                          "batch size); e.g. 16 for the m16 speed mode")
+    ap.add_argument("--ceiling-file", default="",
+                    help="explicit logs/ ceiling artifact to normalize "
+                         "against (for compact-variant configs whose "
+                         "ceiling name carries the variant, e.g. "
+                         "ceiling_f8l4_m16f1_hard.json)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--tiny", action="store_true",
                     help="harness smoke test: tiny scene/model (CPU-speed)")
@@ -142,6 +147,8 @@ def main():
     suffix = "" if args.scene == "spheres" else f"_{args.scene}"
     names = ([f"ceiling_{args.encoder}{suffix}.json"] if suffix
              else [f"ceiling_{args.encoder}.json", "ceiling.json"])
+    if args.ceiling_file:
+        names = [os.path.basename(args.ceiling_file)]
     for name in names:
         ceiling_path = os.path.join(here, "logs", name)
         if os.path.exists(ceiling_path):

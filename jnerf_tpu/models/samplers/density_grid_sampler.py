@@ -30,7 +30,7 @@ import math
 import jax
 import jax.numpy as jnp
 
-from jnerf_tpu.ops.composite import render_rays
+from jnerf_tpu.ops.composite import network_to_density, render_rays
 from jnerf_tpu.ops.occupancy import (
     GridConfig,
     density_grid_mean,
@@ -349,7 +349,7 @@ class DensityGridSampler:
         warped = (world_pos - g.aabb_min) / g.aabb_diag
 
         raw = self._chunked_density(params, warped)
-        thickness = jnp.exp(raw) * g.stepsize
+        thickness = network_to_density(raw) * g.stepsize
 
         flat_tmp = jnp.zeros((grid.size,), jnp.float32)
         for c in range(n_casc):

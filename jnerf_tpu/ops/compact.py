@@ -180,7 +180,9 @@ def render_rays_compact(raw, dts, info: CompactInfo, background=None,
     """
     n_rays = info.counts.shape[0]
     rgb = jax.nn.sigmoid(raw[:, :3])  # [M, 3]
-    sigma = jnp.exp(raw[:, 3])
+    from jnerf_tpu.ops.composite import network_to_density
+
+    sigma = network_to_density(raw[:, 3])
     alpha = jnp.where(info.slot_valid, 1.0 - jnp.exp(-sigma * dts), 0.0)
     x = 1.0 - alpha + 1e-10
     trans_incl = _seg_cumprod(x, info.head)  # [M]

@@ -16,10 +16,29 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# Saturation point of the exponential density activation.  The reference's
+# `network_to_density` (`density_grid_sampler_header.h:290-302`) is an
+# unclamped `__expf`, but its MLP emits fp16, whose 65504 max implicitly
+# bounds the result; our MLPs emit bf16 (range ~3e38), and measured
+# training grows raw density without bound in unsupervised regions
+# (object interiors, pruned space: weight≈0 ⇒ no restoring gradient while
+# the shared MLP weights keep growing) — raw crossed 88 ⇒ exp overflows
+# f32 ⇒ the grid mean, the L1 regularizer, and then every parameter went
+# NaN (round-4 ceiling run).  exp(15)≈3.3e6 saturates alpha at any dt the
+# marcher produces (alpha=1 from sigma·dt≳20, dt≥1e-3 ⇒ sigma 2e4), so
+# clamping is rendering-equivalent and makes overflow impossible.
+RAW_DENSITY_CAP = 15.0
+
+
+def network_to_density(raw):
+    """Exponential density activation, saturated (TPU-native
+    `network_to_density`, see RAW_DENSITY_CAP)."""
+    return jnp.exp(jnp.minimum(raw, RAW_DENSITY_CAP))
+
 
 def raw_to_alpha(raw_sigma, dts, valid):
     """sigma = exp(raw); alpha = 1 - exp(-sigma*dt), masked."""
-    sigma = jnp.exp(raw_sigma)
+    sigma = network_to_density(raw_sigma)
     return jnp.where(valid, 1.0 - jnp.exp(-sigma * dts), 0.0)
 
 

@@ -249,7 +249,9 @@ def splat_density(indices, raw_density, grid_tmp, cfg: GridConfig):
     `splat_grid_samples_nerf_max_nearest_neighbor.h:5-23`; atomicMax becomes
     a deterministic scatter-max.
     """
-    thickness = jnp.exp(raw_density.reshape(-1)) * cfg.stepsize
+    from jnerf_tpu.ops.composite import network_to_density
+
+    thickness = network_to_density(raw_density.reshape(-1)) * cfg.stepsize
     flat = grid_tmp.reshape(-1).at[indices].max(thickness)
     return flat.reshape(grid_tmp.shape)
 

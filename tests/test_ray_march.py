@@ -189,6 +189,54 @@ class TestComposite:
         assert bool(jnp.isfinite(g).all())
         assert float(jnp.abs(g).sum()) > 0
 
+    def test_density_activation_saturates(self):
+        """Raw density beyond RAW_DENSITY_CAP must stay finite end-to-end.
+
+        Round-4 regression: bf16 MLP outputs grew without bound in
+        unsupervised regions (no restoring gradient at weight≈0), raw
+        crossed 88, exp overflowed f32, and the grid mean / L1 reg / every
+        parameter went NaN.  The reference's fp16 network output implicitly
+        saturates; ours must saturate explicitly (`network_to_density`).
+        """
+        from jnerf_tpu.ops.compact import compact_indices, render_rays_compact
+        from jnerf_tpu.ops.composite import network_to_density
+        from jnerf_tpu.ops.occupancy import GridConfig, splat_density
+
+        huge = jnp.asarray([0.0, 14.9, 90.0, 4000.0])
+        d = network_to_density(huge)
+        assert bool(jnp.isfinite(d).all())
+        assert float(d[2]) == float(d[3])  # saturated
+
+        # Padded compositing: forward and gradient stay finite.
+        raw = jnp.zeros((2, 8, 4)).at[:, :, 3].set(500.0)
+        dts = jnp.full((2, 8), 0.01)
+        valid = jnp.ones((2, 8), bool)
+
+        def f(raw):
+            rgb, _ = render_rays(raw, dts, valid)
+            return rgb.sum()
+
+        assert bool(jnp.isfinite(f(raw)))
+        assert bool(jnp.isfinite(jax.grad(f)(raw)).all())
+
+        # Compacted compositing too.
+        info = compact_indices(valid, 16)
+
+        def fc(raw_c):
+            rgb, _ = render_rays_compact(raw_c, dts.reshape(-1), info)
+            return rgb.sum()
+
+        raw_c = jnp.zeros((16, 4)).at[:, 3].set(500.0)
+        assert bool(jnp.isfinite(fc(raw_c)))
+        assert bool(jnp.isfinite(jax.grad(fc)(raw_c)).all())
+
+        # Grid refresh splat.
+        g = GridConfig(n_cascades=1)
+        tmp = jnp.zeros((1, 128, 128, 128))
+        out = splat_density(jnp.asarray([0, 1]), jnp.asarray([900.0, 90.0]),
+                            tmp, g)
+        assert bool(jnp.isfinite(out).all())
+
 
 class TestBitfield:
     def test_threshold_and_maxpool(self):
