@@ -115,6 +115,9 @@ class DensityGridSampler:
         # Eager-API scratch (test/render paths); the jitted trainer threads
         # RaySamples explicitly instead.
         self._last_samples: RaySamples | None = None
+        # Cross-window EMA of measured demand/ray (host float; see
+        # update_batch_rays' deadband controller).
+        self._demand_ema: float | None = None
         self.state = None  # set via init_state()
         # Optional jax.sharding.Mesh (set by Runner.mesh): the density
         # sweep shards its cell axis over it — the sweep is embarrassingly
@@ -417,18 +420,24 @@ class DensityGridSampler:
         if rays_then is None:
             rays_then = self.n_rays_per_batch
         measured = max(measured / (n_steps or self.n_training_steps), 1.0)
-        rays_per_batch = int(rays_then * self.target_batch_size / measured)
-        # One octave per adjustment, relative to the CURRENT shape.  Demand
-        # is coupled to the shapes through training itself (a too-small S
-        # truncates rays -> the bg term punishes fog -> the density field
-        # and hence demand swing), so the raw multiplicative update is a
-        # positive-feedback controller: on TPU it locked into a period-6
-        # limit cycle (R cycling 256..16384 with the loss oscillating 4x).
-        # Damping to one pow2 step keeps the equilibrium (healthy demand is
-        # ~flat in R, so repeated steps still reach target/d) while bounding
-        # any transient excursion to 2x.
-        rays_per_batch = max(self.n_rays_per_batch // 2,
-                             min(self.n_rays_per_batch * 2, rays_per_batch))
+        # Demand per ray, smoothed across windows.  Round 3's one-octave
+        # damping still limit-cycled (measured round 4: R looping
+        # 2048->4096->8192 for the whole run, with eval PSNR swinging
+        # ~1.5 dB in sync): demand couples to the shapes through training,
+        # and per-window demand noise near an octave boundary re-triggers
+        # a flip every window.  The controller is now a deadband: track an
+        # EMA of demand/ray, and only move — one octave, toward the
+        # implied shape — when the implied ray count is ~35% past the
+        # current octave's sqrt2 edge (ratio 1.9 = sqrt2 * 1.35).  Shape
+        # changes then need a sustained demand shift, not a noise
+        # excursion, while a genuinely off-by-an-octave shape (ratio 2)
+        # still corrects in one window.
+        demand_per_ray = measured / max(rays_then, 1)
+        if self._demand_ema is None:
+            self._demand_ema = demand_per_ray
+        else:
+            self._demand_ema = 0.5 * self._demand_ema + 0.5 * demand_per_ray
+        implied = self.target_batch_size / max(self._demand_ema, 1.0)
         # Floor S at 16 by capping rays: late in training the mean demand
         # per ray collapses (most rays hit pruned space), and an uncapped
         # R walks to six figures where S floors at 1-2 — there the march
@@ -436,8 +445,15 @@ class DensityGridSampler:
         # is [R*K, 128] bools (~16 GB at R=128k: the psnr300_f8l4 OOM).
         # Rays beyond target/16 only add padding the fixed [R, S] layout
         # (or the compaction cap) would drop anyway.
-        new_rays = _pow2_round(rays_per_batch, 128,
-                               max(128, self.target_batch_size // 16))
+        lo, hi = 128, max(128, self.target_batch_size // 16)
+        implied = max(lo, min(hi, implied))
+        ratio = implied / self.n_rays_per_batch
+        if ratio >= 1.9:
+            new_rays = min(self.n_rays_per_batch * 2, hi)
+        elif ratio <= 1 / 1.9:
+            new_rays = max(self.n_rays_per_batch // 2, lo)
+        else:
+            new_rays = self.n_rays_per_batch
         changed = new_rays != self.n_rays_per_batch
         self.n_rays_per_batch = new_rays
         self.n_samples_per_ray = self._samples_for_rays(new_rays)
@@ -453,6 +469,7 @@ class DensityGridSampler:
             "mean": jax.device_get(self.state["mean"]),
             "ema_step": jax.device_get(self.state["ema_step"]),
             "n_rays_per_batch": self.n_rays_per_batch,
+            "demand_ema": self._demand_ema,
         }
 
     def load_state_dict(self, sd):
@@ -466,4 +483,6 @@ class DensityGridSampler:
         if "n_rays_per_batch" in sd:
             self.n_rays_per_batch = int(sd["n_rays_per_batch"])
             self.n_samples_per_ray = self._samples_for_rays(self.n_rays_per_batch)
+        if sd.get("demand_ema") is not None:
+            self._demand_ema = float(sd["demand_ema"])
         return self.state
