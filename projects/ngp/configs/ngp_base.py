@@ -44,6 +44,13 @@ near_distance = 0.2
 n_rays_per_batch = 4096
 n_training_steps = 16
 target_batch_size = 1 << 18
+# Ragged sample compaction (ops/compact.py): the model tier runs on the
+# M kept samples instead of every [rays, samples] slot — the reference
+# also trains on compacted samples (`density_grid_sampler.py:136-167`).
+# m16 ~= the real-sample count the padded 2^18-slot batch carries at its
+# measured ~19-26% occupancy (see docs/DESIGN.md round-4 ledger).
+compacted_batch = 1 << 16
+march_budget_factor = 1
 const_dt = True
 fp16 = True  # maps to bf16 compute on TPU
 load_ckpt = False
