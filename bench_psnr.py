@@ -69,6 +69,11 @@ def main():
     ap.add_argument("--warmup-steps", type=int, default=256,
                     help="steps (and one grid refresh) excluded from the "
                          "budget to absorb XLA compiles")
+    ap.add_argument("--out", default="",
+                    help="also write the JSON line to this path atomically "
+                         "(tmp+rename); shell redirection of stdout can "
+                         "capture interleaved runtime noise into the "
+                         "artifact, this cannot")
     args = ap.parse_args()
 
     import jax
@@ -179,7 +184,13 @@ def main():
             "backend": jax.default_backend(),
         },
     }
-    print(json.dumps(result))
+    line = json.dumps(result)
+    print(line)
+    if args.out:
+        tmp = args.out + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(line + "\n")
+        os.replace(tmp, args.out)
 
 
 if __name__ == "__main__":

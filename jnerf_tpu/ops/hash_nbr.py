@@ -701,8 +701,25 @@ def _encode_nbr_fwd(spec, table, pos):
     return _encode_nbr_core(spec, table, pos), pos
 
 
+# Largest per-level accumulator block the RMW kernel may hold live in
+# VMEM, in rows.  f32[131072, 128] = 64 MB is measured-good (the shipped
+# f8l4 @ 2^18 cap compiles and runs); the next power of two (f8l4/f4l8 @
+# the reference's 2^19 cap -> 128 MB block) fails TPU compilation with
+# "Allocation would exceed memory" — the output window alone outgrows
+# VMEM.  Until the RMW kernel grows a row-subblock grid axis, oversized
+# plans take the exact XLA scatter backward instead (slower, same math).
+_ACC_BLOCK_ROWS_MAX = 131072
+
+
+def _bwd_plan_fits_tpu(spec) -> bool:
+    plan = bwd_accumulator_plan(spec)
+    return all(blk[0] <= _ACC_BLOCK_ROWS_MAX for blk, _ in plan["blocks"])
+
+
 def _encode_nbr_bwd(spec, pos, g):
     if _is_cpu() and not _force_interpret():
+        return _grad_table_xla(spec, pos, g), None
+    if not _bwd_plan_fits_tpu(spec):
         return _grad_table_xla(spec, pos, g), None
     return _grad_table_pallas(spec, pos, g, interpret=_is_cpu()), None
 

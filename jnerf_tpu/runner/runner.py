@@ -242,20 +242,33 @@ class Runner:
         relay dropping a response mid-body); real errors re-raise."""
         import time
 
+        import sys
+
         for i in range(attempts):
             try:
                 return fn(*args)
             except Exception as e:  # jax.errors.JaxRuntimeError and kin
                 msg = str(e)
-                transient = any(
+                # Deterministic compiler failures come back through the
+                # same relay (HTTP 500) as genuine transport drops; never
+                # retry those — they fail identically every attempt.
+                permanent = any(
+                    s in msg
+                    for s in ("would exceed memory", "Mosaic",
+                              "XLA compilation error", "RESOURCE_EXHAUSTED")
+                )
+                transient = not permanent and any(
                     s in msg
                     for s in ("remote_compile", "Broken pipe",
                               "response body closed", "UNAVAILABLE")
                 )
                 if not transient or i == attempts - 1:
                     raise
+                # stderr: tools redirect stdout into JSON artifacts; a
+                # retry notice on stdout corrupts them (round-3 defect).
                 print(f"[runner] transient backend error, retrying "
-                      f"({i + 1}/{attempts}): {msg.splitlines()[0][:120]}")
+                      f"({i + 1}/{attempts}): {msg.splitlines()[0][:120]}",
+                      file=sys.stderr)
                 time.sleep(5.0 * (i + 1))
 
     def _train_step(self, key):

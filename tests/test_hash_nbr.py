@@ -194,6 +194,34 @@ class TestMosaicBlockShapes:
             np.asarray(g_fast), np.asarray(g_ref), rtol=5e-2, atol=5e-3
         )
 
+    def test_vmem_gate_on_accumulator_block(self):
+        """The RMW kernel holds a whole level accumulator live in VMEM;
+        f32[262144, 128] (f8l4 at the reference's 2^19 cap) is 128 MB and
+        fails TPU compilation ("Allocation would exceed memory" — the
+        round-4 cap19 A/B crash).  Oversized plans must route to the XLA
+        backward; the reference-exact f2l16 @ 2^19 (P=8 -> 65536 rows)
+        and every shipped bench geometry must keep the Pallas path."""
+        from jnerf_tpu.ops.hash_nbr import (
+            _ACC_BLOCK_ROWS_MAX,
+            _bwd_plan_fits_tpu,
+            bwd_accumulator_plan,
+        )
+
+        cap19 = dict(base_resolution=16, log2_hashmap_size=19,
+                     max_level_size=524288)
+        f8l4_cap19 = HashGridSpec(n_levels=4, n_features_per_level=8,
+                                  **cap19)
+        plan = bwd_accumulator_plan(f8l4_cap19)
+        assert plan.get("rows_max", 0) > _ACC_BLOCK_ROWS_MAX
+        assert not _bwd_plan_fits_tpu(f8l4_cap19)
+
+        f2l16_cap19 = HashGridSpec(n_levels=16, n_features_per_level=2,
+                                   **cap19)
+        assert _bwd_plan_fits_tpu(f2l16_cap19)
+
+        for levels, feats in [(16, 2), (8, 4), (4, 8)]:
+            assert _bwd_plan_fits_tpu(self._bench_spec(levels, feats))
+
 
 def test_xla_fallback_matches_pallas(spec, table, pos, monkeypatch):
     """The CPU production backward (_grad_table_xla, linear-adjoint vjp)
