@@ -131,7 +131,11 @@ def main():
     # batch carries at its measured ~26% occupancy; the reference trains
     # on compacted samples by default, density_grid_sampler.py:136-167).
     # Padded baselines live in logs/quality/compact_ab_*.jsonl.
-    shapes = (["f8l4+m16f1", "f4l8+m16f1", "f2l16+m16f1", "f2l16"]
+    # f8l4+m17f2 is the quality mode of the same flagship model (31.32 dB
+    # monotone hard-scene ceiling, logs/ceiling_f8l4_m17f2_hard.json) —
+    # recorded so the speed/quality knob has a bench-artifact number too.
+    shapes = (["f8l4+m16f1", "f8l4+m17f2", "f4l8+m16f1", "f2l16+m16f1",
+               "f2l16"]
               if args.encoder == "both" else [args.encoder])
     # Per-config isolation (VERDICT r3 weak #1): round 3's f2l16 Pallas
     # crash destroyed the already-finished f4l8 headline because every
