@@ -22,6 +22,19 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _git_rev(root):
+    """Short git rev of the working tree, or None outside a checkout."""
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "-C", root, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        return None
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--budget-s", type=float, default=300.0)
@@ -148,26 +161,58 @@ def main():
     # scene PSNR by lego's 36.41 would be a category error (VERDICT r2) —
     # if no ceiling has been measured yet, vs_baseline is null.
     ceiling = None
+    ceiling_rev = None
     here = os.path.dirname(os.path.abspath(__file__))
     suffix = "" if args.scene == "spheres" else f"_{args.scene}"
     names = ([f"ceiling_{args.encoder}{suffix}.json"] if suffix
              else [f"ceiling_{args.encoder}.json", "ceiling.json"])
     if args.ceiling_file:
-        names = [os.path.basename(args.ceiling_file)]
+        names = [args.ceiling_file]
     for name in names:
-        ceiling_path = os.path.join(here, "logs", name)
+        # A path with a directory component is used as-is (ADVICE r4:
+        # re-rooting an explicit path under logs/ silently read a
+        # different file); bare names resolve under logs/.
+        ceiling_path = (name if os.path.dirname(name)
+                        else os.path.join(here, "logs", name))
         if os.path.exists(ceiling_path):
             with open(ceiling_path) as f:
-                ceiling = json.load(f).get("psnr_ceiling")
+                cdata = json.load(f)
+            ceiling = cdata.get("psnr_ceiling")
+            ceiling_rev = cdata.get("git_rev")
             break
+    if args.ceiling_file and ceiling is None:
+        print(f"[bench_psnr] WARNING: requested ceiling file "
+              f"{args.ceiling_file} not found; vs_baseline will be null",
+              file=sys.stderr)
     mean_psnr = float(np.mean(psnrs))
+    fraction = round(mean_psnr / ceiling, 3) if ceiling else None
+    # Self-consistency guard (VERDICT r4 weak #2: a 5-min point once
+    # exceeded its own stale pre-fix ceiling).  A fraction > 1.02 means
+    # the ceiling artifact predates the code state that produced this
+    # point — flag it loudly rather than publish a >100% "of ceiling".
+    fraction_suspect = bool(fraction is not None and fraction > 1.02)
+    rev = _git_rev(here)
+    state_mismatch = bool(ceiling_rev and rev and ceiling_rev != rev)
+    if fraction_suspect:
+        print(f"[bench_psnr] WARNING: psnr {mean_psnr:.2f} exceeds the "
+              f"cited ceiling {ceiling} by >2% — the ceiling artifact is "
+              f"stale; re-run tools/ceiling_run.py", file=sys.stderr)
+    if state_mismatch:
+        print(f"[bench_psnr] WARNING: ceiling artifact was measured at "
+              f"git {ceiling_rev}, this run is {rev} — pair may be "
+              f"inconsistent", file=sys.stderr)
     result = {
         "metric": "ngp_psnr_at_budget",
         "value": round(mean_psnr, 2),
         "unit": "dB",
-        "vs_baseline": (round(mean_psnr / ceiling, 3) if ceiling else None),
+        "vs_baseline": fraction,
         "extra": {
             "psnr_ceiling": ceiling,
+            "git_rev": rev,
+            "ceiling_git_rev": ceiling_rev,
+            **({"fraction_suspect": True} if fraction_suspect else {}),
+            **({"ceiling_code_state_mismatch": True}
+               if state_mismatch else {}),
             "budget_s": (None if args.iters else args.budget_s),
             "iters": iters,
             "iters_per_s": round(iters / elapsed, 2),

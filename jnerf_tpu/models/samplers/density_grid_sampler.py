@@ -454,6 +454,12 @@ class DensityGridSampler:
             new_rays = max(self.n_rays_per_batch // 2, lo)
         else:
             new_rays = self.n_rays_per_batch
+        # A starting shape outside [lo, hi] (checkpoint from a different
+        # target_batch_size, hand-set non-pow2 config) can otherwise sit in
+        # the deadband forever — `implied` is clamped before the ratio, so
+        # e.g. rays between hi and 1.9*hi never trigger a move.  Clamp the
+        # result unconditionally so out-of-range shapes converge.
+        new_rays = max(lo, min(hi, new_rays))
         changed = new_rays != self.n_rays_per_batch
         self.n_rays_per_batch = new_rays
         self.n_samples_per_ray = self._samples_for_rays(new_rays)

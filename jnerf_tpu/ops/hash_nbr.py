@@ -311,6 +311,15 @@ def _compute_vals(scale, pos_ref, g_ref, slot, lvl, F: int, L: int):
     upstream grads, slot-one-hot across the P entry positions per row.
     Shared by the RMW and matmul backward kernels; see _make_bwd_kernel
     for the lane layout and the arithmetic-blend rationale."""
+    return _vals_from_arrays(scale, pos_ref[:], g_ref[:], slot, lvl, F, L)
+
+
+def _vals_from_arrays(scale, pos, gall, slot, lvl, F: int, L: int):
+    """Array-based core of `_compute_vals`: pos [CH, 3], gall [CH, F*L],
+    slot [CH, 1] -> [CH, 128] scatter values.  Factored out so the
+    sharded kernel can build vals in row CHUNKS: the whole-block vals
+    phase keeps ~12 live [8192, 128] f32 vectors, which Mosaic spills —
+    50.25 MB of VMEM spill slots measured on the cap19 compile."""
     import jax.lax as lax
 
     log2f = F.bit_length() - 1
@@ -320,12 +329,11 @@ def _compute_vals(scale, pos_ref, g_ref, slot, lvl, F: int, L: int):
         q = p * scale + 0.5
         return q - jnp.floor(q)
 
-    fx = fract(pos_ref[:, 0:1])  # [BLK, 1]
-    fy = fract(pos_ref[:, 1:2])
-    fz = fract(pos_ref[:, 2:3])
-    fl = g_ref.shape[1]
+    fx = fract(pos[:, 0:1])  # [CH, 1]
+    fy = fract(pos[:, 1:2])
+    fz = fract(pos[:, 2:3])
+    fl = gall.shape[1]
     gl = lax.broadcasted_iota(jnp.int32, (1, fl), 1)
-    gall = g_ref[:]
 
     lane = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     bx = ((lane >> log2f) & 1).astype(jnp.float32)
@@ -486,6 +494,66 @@ def _make_bwd_kernel(F: int, L: int, combine: bool = True, lvl_off: int = 0):
     return kern
 
 
+@functools.lru_cache(maxsize=16)
+def _make_bwd_kernel_sharded(F: int, L: int, lvl_off: int, rows_blk: int,
+                             n_shards: int):
+    """RMW kernel for levels whose whole-level accumulator exceeds
+    `_ACC_BLOCK_ROWS_MAX` rows (the reference's 2^19-entry tables at
+    F>=4: 128 MB f32 outgrows VMEM, the round-4 cap19 crash).  The row
+    space is split into `n_shards` windows; each shard is a full pass
+    over the samples with rows outside the shard redirected to a dump
+    row at rows_blk (the block is rows_blk+8 tall), so the RMW stays
+    unconditional — a predicated skip costs two control regions per
+    sample, measured ~2x the plain loop (round 3's run-combine result),
+    while the dump-row add is just one more ~10 ns RMW whose result is
+    sliced off.  The scatter VALUES need no masking.
+
+    The (level, shard) pair is FLATTENED into the first grid axis: a 3-D
+    (level, shard, block) grid made Mosaic double-buffer the 32 MB output
+    window and spill ~50 MB of registers (measured on the cap19 compile),
+    while this 2-D form keeps the proven kernel's pipeline structure.
+    """
+    def kern(scale_ref, rows_ref, slot_ref, pos_ref, g_ref, out_ref,
+             vals_ref):
+        import jax.lax as lax
+        from jax.experimental import pallas as pl
+
+        c = pl.program_id(0)
+        lvl = c // n_shards + lvl_off
+        base = (c % n_shards) * rows_blk
+
+        @pl.when(pl.program_id(1) == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        scale = scale_ref[lvl, 0]
+        blk = vals_ref.shape[0]
+        # Build vals in row chunks: whole-block vals keep ~12 live
+        # [blk, 128] vectors and spill ~50 MB of VMEM at blk=8192 —
+        # chunking bounds the live set so the 2x32 MB output window fits.
+        ch = min(blk, 2048)
+        for q in range(blk // ch):
+            sl = pl.ds(q * ch, ch)
+            slot_q = slot_ref[0, 0, sl][:, None]  # [ch, 1] int32
+            vals_ref[sl, :] = _vals_from_arrays(
+                scale, pos_ref[sl, :], g_ref[sl, :], slot_q, lvl, F, L)
+
+        unroll = 8
+
+        def body(j, _):
+            jb = j * unroll
+            for u in range(unroll):
+                r = rows_ref[0, 0, jb + u] - base
+                r = jnp.where(
+                    jnp.logical_and(r >= 0, r < rows_blk), r, rows_blk)
+                out_ref[pl.ds(r, 1), :] += vals_ref[pl.ds(jb + u, 1), :]
+            return 0
+
+        lax.fori_loop(0, blk // unroll, body, 0, unroll=1)
+
+    return kern
+
+
 def _pad8(n: int) -> int:
     """Round up to a multiple of 8 — the Mosaic sublane granule.
 
@@ -494,6 +562,20 @@ def _pad8(n: int) -> int:
     crash because f2l16's level 1 has 1521 accumulator rows and that raw
     count was used as a block shape (VERDICT r3 missing #2)."""
     return -(-n // 8) * 8
+
+
+# Largest per-level accumulator block the whole-level RMW kernel may
+# hold live in VMEM, in rows: 32768 rows = 16 MB f32.  Measured on the
+# cap19 compiles (round 5): the whole-level branch carries THREE blk x
+# 128 scratch buffers, so a 32 MB output window double-buffered by
+# Mosaic lands at 121.2 MB — 1.2 MB over the 120 MB scoped-VMEM limit
+# (f4l8 @ 2^19).  16 MB blocks leave headroom; every shipped bench
+# geometry (<= 32768 rows/level) keeps its exact previous layout.
+# Bigger levels take the row-SHARDED RMW kernel — one vals scratch, so
+# 32 MB windows fit there (f8l4 @ 2^19 measured green): each shard is a
+# full pass over the samples into its own window.
+_ACC_BLOCK_ROWS_MAX = 32768
+_SHARD_BLOCK_ROWS = 65536
 
 
 def bwd_accumulator_plan(spec: HashGridSpec) -> dict:
@@ -505,6 +587,17 @@ def bwd_accumulator_plan(spec: HashGridSpec) -> dict:
     block shape and the overall array shape so the test can assert the
     lowering constraint (last two block dims 8/128-divisible or equal to
     the array dims) without a TPU.
+
+    Three branches, by level size (sizes are nondecreasing, so each is a
+    contiguous level range):
+    - levels 0..k: one-hot MXU matmul scatter (<= MATMUL_ROWS_MAX rows);
+    - levels k..k2: the plain RMW loop, whole-level accumulator in VMEM;
+    - levels k2..L: the SHARDED RMW loop — accumulators past
+      `_ACC_BLOCK_ROWS_MAX` rows (64 MB f32; the reference's 2^19-entry
+      tables at F>=4) cannot hold a whole level in VMEM, so the row space
+      is split into shards, each a full pass over the samples with
+      out-of-shard rows redirected to a dump row (unconditional RMW — a
+      predicated skip measured slower than adding to a scratch row).
     """
     L = spec.n_levels
     F = spec.n_features_per_level
@@ -514,17 +607,29 @@ def bwd_accumulator_plan(spec: HashGridSpec) -> dict:
         "level sizes must be nondecreasing for the prefix kernel split"
     )
     k = sum(1 for r in level_rows if r <= MATMUL_ROWS_MAX)
-    plan = {"k": k, "P": P, "level_rows": level_rows, "blocks": []}
+    k2 = k + sum(1 for r in level_rows[k:]
+                 if _pad8(r) <= _ACC_BLOCK_ROWS_MAX)
+    plan = {"k": k, "k2": k2, "P": P, "level_rows": level_rows,
+            "blocks": []}
     if k:
         rows_small = _pad8(max(level_rows[:k]))
         plan["rows_small"] = rows_small
         plan["blocks"].append(
             ((rows_small, 128), (k * rows_small, 128)))
-    if k < L:
-        rows_max = _pad8(max(level_rows[k:]))
+    if k < k2:
+        rows_max = _pad8(max(level_rows[k:k2]))
         plan["rows_max"] = rows_max
         plan["blocks"].append(
-            ((rows_max, 128), ((L - k) * rows_max, 128)))
+            ((rows_max, 128), ((k2 - k) * rows_max, 128)))
+    if k2 < L:
+        rows_big = _pad8(max(level_rows[k2:]))
+        n_shards = -(-rows_big // _SHARD_BLOCK_ROWS)
+        rows_blk = _pad8(-(-rows_big // n_shards))
+        plan["shard"] = {"rows": rows_big, "n_shards": n_shards,
+                         "rows_blk": rows_blk, "dump": 8}
+        plan["blocks"].append((
+            (rows_blk + 8, 128),
+            ((L - k2) * n_shards * (rows_blk + 8), 128)))
     return plan
 
 
@@ -551,11 +656,13 @@ def _grad_table_pallas(spec: HashGridSpec, pos, g, interpret: bool):
     scales = jnp.asarray(spec.scales, jnp.float32).reshape(L, 1)
 
     # Prefix split: levels with small accumulators take the one-hot MXU
-    # matmul kernel (MATMUL_ROWS_MAX), the rest the RMW loop.  Level sizes
-    # are nondecreasing (dense res^3 up to the cap), so "small" is a
-    # prefix of the level list.
+    # matmul kernel (MATMUL_ROWS_MAX), mid levels the whole-level RMW
+    # loop, and oversized levels (accumulator > _ACC_BLOCK_ROWS_MAX rows)
+    # the row-sharded RMW kernel.  Level sizes are nondecreasing (dense
+    # res^3 up to the cap), so each branch is a contiguous level range.
     level_rows = plan["level_rows"]
     k = plan["k"]
+    k2 = plan["k2"]
     chunk = min(512, blk)
 
     common = dict(
@@ -565,20 +672,20 @@ def _grad_table_pallas(spec: HashGridSpec, pos, g, interpret: bool):
         interpret=interpret,
     )
 
-    def in_specs(lvl_off, rows_space):
+    def in_specs(lvl_off, rows_space, n_shards=1):
+        # Index maps for the 2-D (cell, block) grid.  For the sharded
+        # branch, cell = level * n_shards + shard: the shard never
+        # changes which INPUT block a cell reads, only its row window.
+        lvl_blk = lambda c, i: (
+            (c // n_shards + lvl_off) * nblk + i, 0, 0)
+        samp = lambda c, i: (i, 0)
+        const = lambda c, i: (0, 0)
         return [
-            pl.BlockSpec((L, 1), lambda l, i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, blk),
-                         lambda l, i: ((l + lvl_off) * nblk + i, 0, 0),
-                         memory_space=rows_space),
-            pl.BlockSpec((1, 1, blk),
-                         lambda l, i: ((l + lvl_off) * nblk + i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((blk, 3), lambda l, i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((blk, F * L), lambda l, i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, 1), const, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, blk), lvl_blk, memory_space=rows_space),
+            pl.BlockSpec((1, 1, blk), lvl_blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, 3), samp, memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, F * L), samp, memory_space=pltpu.VMEM),
         ]
 
     slabs = [None] * L
@@ -599,15 +706,15 @@ def _grad_table_pallas(spec: HashGridSpec, pos, g, interpret: bool):
         for lvl in range(k):
             slabs[lvl] = acc_s[lvl * rows_small:
                                lvl * rows_small + level_rows[lvl]]
-    if k < L:
+    if k < k2:
         rows_max = plan["rows_max"]
         acc_b = pl.pallas_call(
             _make_bwd_kernel(F, L, RUN_COMBINE, lvl_off=k),
-            grid=(L - k, nblk),
+            grid=(k2 - k, nblk),
             in_specs=in_specs(k, pltpu.SMEM),
             out_specs=pl.BlockSpec((rows_max, 128), lambda l, i: (l, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct(((L - k) * rows_max, 128),
+            out_shape=jax.ShapeDtypeStruct(((k2 - k) * rows_max, 128),
                                            jnp.float32),
             scratch_shapes=[
                 pltpu.VMEM((blk, 128), jnp.float32),
@@ -616,16 +723,40 @@ def _grad_table_pallas(spec: HashGridSpec, pos, g, interpret: bool):
             ],
             **common,
         )(scales, rows, slots, pos, g)
-        for lvl in range(k, L):
+        for lvl in range(k, k2):
             slabs[lvl] = acc_b[(lvl - k) * rows_max:
                                (lvl - k) * rows_max + level_rows[lvl]]
+    if k2 < L:
+        sh = plan["shard"]
+        n_shards, rows_blk = sh["n_shards"], sh["rows_blk"]
+        stride = rows_blk + sh["dump"]  # block height incl. dump rows
+        acc_h = pl.pallas_call(
+            _make_bwd_kernel_sharded(F, L, k2, rows_blk, n_shards),
+            grid=((L - k2) * n_shards, nblk),
+            in_specs=in_specs(k2, pltpu.SMEM, n_shards=n_shards),
+            out_specs=pl.BlockSpec(
+                (stride, 128), lambda c, i: (c, 0),
+                memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(
+                ((L - k2) * n_shards * stride, 128), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((blk, 128), jnp.float32)],
+            **common,
+        )(scales, rows, slots, pos, g)
+        for lvl in range(k2, L):
+            li = lvl - k2
+            shards = [
+                jax.lax.dynamic_slice_in_dim(
+                    acc_h, (li * n_shards + s) * stride, rows_blk, 0)
+                for s in range(n_shards)
+            ]
+            slabs[lvl] = jnp.concatenate(shards, axis=0)[:level_rows[lvl]]
     return unpack_slabs(spec, slabs)
 
 
 @functools.lru_cache(maxsize=64)
-def _corner_select(c: int, F: int) -> np.ndarray:
-    """[8F, F] selection: lanes (cF..cF+F-1) -> features (0..F-1)."""
-    p = np.zeros((8 * F, F), np.float32)
+def _corner_select(c: int, F: int, blocks: int = 8) -> np.ndarray:
+    """[blocks*F, F] selection: lanes (cF..cF+F-1) -> features (0..F-1)."""
+    p = np.zeros((blocks * F, F), np.float32)
     for f in range(F):
         p[c * F + f, f] = 1.0
     return p
@@ -635,25 +766,56 @@ def unpack_slabs(spec: HashGridSpec, slabs):
     """Per-level kernel accumulators [E_l/P, 128] -> master grad
     [n_entries, F].
 
-    master[e, f] = sum_c slab[(e + off_c) mod E, c*F + f]: per corner an
-    axis-0 roll of the [E, 8F] slab (row shifts only — NO flat-interleaved
-    rolls or [E, F]-minor intermediates, which cost ~110 ms at NGP scale)
-    and a [8F, F] selection matmul.
+    master[e, f] = sum_c slab[(e + off_c) mod E, c*F + f], where the
+    corner offset is ADDITIVE over the three corner bits (off_c =
+    bx*ox + by*oy + bz*oz mod E, `_corner_offsets`) and the slab's
+    column blocks are bit-contiguous (c = bx + 2by + 4bz, f fastest).
+    So the 8-corner sum factors into per-axis HALVING stages — from the
+    top corner bit, add the low column half to the oz-rolled high half:
+
+        V = slab[:, :w/2] + roll(slab[:, w/2:], oz)        # [E, w/2]
+
+    pure slice + roll + add, no selection matmuls, and each stage halves
+    the rolled width.  Rolls only run on >=16-lane-minor arrays (the
+    layout rule at the top of this module: narrower rolls relayout,
+    ~110 ms at NGP scale in the first cut), so halving stops when the
+    half would be <16 lanes; the remaining corner bits use the original
+    full-width roll + selection matmul.  Per level: f8l4 rolls 32+16+16
+    lanes (vs 8x64 before, ~5x less roll traffic — unpack was 20.7 ms of
+    the 31 ms cap19 backward, tools/probe_cap19.py), f4l8 16+3x16,
+    f2l16 keeps the original 8x16-lane path.
     """
     F = spec.n_features_per_level
-    corner_offs = _corner_offsets(spec)
+    mults = level_multipliers(spec)
     parts = []
     for lvl in range(spec.n_levels):
         sz = spec.level_sizes[lvl]
         slab = slabs[lvl].reshape(sz, 8 * F)
+        # adjoint of build_nbr_table's nbr[e] = master[e + off]:
+        # master[m] += slab[m - off]  ==  roll(slab, +off)[m]
+        offs = [int(m) % sz for m in mults[lvl]]
+        nbits = 3
+        while nbits > 0 and slab.shape[1] // 2 >= 16:
+            h = slab.shape[1] // 2
+            off = offs[nbits - 1]
+            hi = slab[:, h:]
+            slab = slab[:, :h] + (jnp.roll(hi, off, axis=0) if off else hi)
+            nbits -= 1
+        if nbits == 0:
+            parts.append(slab)  # [E, F]
+            continue
         m = 0.0
-        for c in range(8):
-            off = int(corner_offs[lvl, c]) % sz
-            # adjoint of build_nbr_table's nbr[e] = master[e + off]:
-            # master[m] += slab[m - off]  ==  roll(slab, +off)[m]
+        for c in range(1 << nbits):
+            off = sum(offs[b] for b in range(nbits) if (c >> b) & 1) % sz
             rolled = jnp.roll(slab, off, axis=0) if off else slab
-            m = m + jnp.dot(rolled, jnp.asarray(_corner_select(c, F)),
-                            preferred_element_type=jnp.float32)
+            # HIGHEST: default-precision f32 dots run through bf16 on
+            # this stack (measured: one-hot selection x f32 lost ~2^-8
+            # relative), silently rounding every gradient.  These selects
+            # are tiny-K and HBM-bound, so exactness is free.
+            m = m + jnp.dot(
+                rolled, jnp.asarray(_corner_select(c, F, 1 << nbits)),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
         parts.append(m)  # [E, F]
     return jnp.concatenate(parts, axis=0)
 
@@ -690,6 +852,16 @@ def _force_interpret() -> bool:
     return os.environ.get("JNERF_PALLAS_INTERPRET", "") == "1"
 
 
+# Debug hook: set JNERF_FORCE_XLA_BWD=1 to train with the pure-XLA
+# adjoint on any backend — the quality-discriminating arm for A/Bing the
+# Pallas backward's numerics against the exact scatter (slow on TPU:
+# ~15 ns/row XLA scatter-add vs ~10 ns RMW, plus no fused vals phase).
+def _force_xla_bwd() -> bool:
+    import os
+
+    return os.environ.get("JNERF_FORCE_XLA_BWD", "") == "1"
+
+
 # ------------------------------------------------------------------- public
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _encode_nbr_core(spec, table, pos):
@@ -701,25 +873,10 @@ def _encode_nbr_fwd(spec, table, pos):
     return _encode_nbr_core(spec, table, pos), pos
 
 
-# Largest per-level accumulator block the RMW kernel may hold live in
-# VMEM, in rows.  f32[131072, 128] = 64 MB is measured-good (the shipped
-# f8l4 @ 2^18 cap compiles and runs); the next power of two (f8l4/f4l8 @
-# the reference's 2^19 cap -> 128 MB block) fails TPU compilation with
-# "Allocation would exceed memory" — the output window alone outgrows
-# VMEM.  Until the RMW kernel grows a row-subblock grid axis, oversized
-# plans take the exact XLA scatter backward instead (slower, same math).
-_ACC_BLOCK_ROWS_MAX = 131072
-
-
-def _bwd_plan_fits_tpu(spec) -> bool:
-    plan = bwd_accumulator_plan(spec)
-    return all(blk[0] <= _ACC_BLOCK_ROWS_MAX for blk, _ in plan["blocks"])
-
-
 def _encode_nbr_bwd(spec, pos, g):
-    if _is_cpu() and not _force_interpret():
+    if _force_xla_bwd():
         return _grad_table_xla(spec, pos, g), None
-    if not _bwd_plan_fits_tpu(spec):
+    if _is_cpu() and not _force_interpret():
         return _grad_table_xla(spec, pos, g), None
     return _grad_table_pallas(spec, pos, g, interpret=_is_cpu()), None
 

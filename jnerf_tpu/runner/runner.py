@@ -254,13 +254,21 @@ class Runner:
                 # retry those — they fail identically every attempt.
                 permanent = any(
                     s in msg
-                    for s in ("would exceed memory", "Mosaic",
-                              "XLA compilation error", "RESOURCE_EXHAUSTED")
+                    for s in ("would exceed memory", "out of memory",
+                              "Mosaic", "XLA compilation error")
                 )
+                # RESOURCE_EXHAUSTED is ambiguous: the deterministic TPU
+                # allocator failure (matched by the memory phrases above)
+                # but ALSO gRPC's transient quota/rate-limit status on
+                # relay stacks.  Allow one retry; if it persists it is the
+                # allocator and re-raises on the second hit.
+                if "RESOURCE_EXHAUSTED" in msg and i >= 1:
+                    permanent = True
                 transient = not permanent and any(
                     s in msg
                     for s in ("remote_compile", "Broken pipe",
-                              "response body closed", "UNAVAILABLE")
+                              "response body closed", "UNAVAILABLE",
+                              "RESOURCE_EXHAUSTED")
                 )
                 if not transient or i == attempts - 1:
                     raise

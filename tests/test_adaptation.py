@@ -85,13 +85,21 @@ class TestDeadbandController:
             256, 2 * s.target_batch_size // s.n_rays_per_batch)
 
     def test_state_roundtrip_keeps_ema(self):
+        # Exercise the REAL state_dict/load_state_dict pair (ADVICE r4:
+        # hand-copying the fields would not catch the persistence code
+        # dropping a key).  The grid arrays just need to exist.
         s = make_sampler()
-        feed(s, 64, windows=3)
+        feed(s, 32, windows=3)  # moves the shape AND sets the EMA
         assert s._demand_ema is not None
-        # state_dict only needs the fields the controller persists.
-        sd = {"n_rays_per_batch": s.n_rays_per_batch,
-              "demand_ema": s._demand_ema}
+        s.state.update(
+            density_grid=jnp.zeros((8,), jnp.float32),
+            bitfield=jnp.zeros((8,), jnp.uint8),
+            mean=jnp.zeros((), jnp.float32),
+            ema_step=jnp.zeros((), jnp.int32),
+        )
+        sd = s.state_dict()
         s2 = make_sampler()
-        s2.n_rays_per_batch = int(sd["n_rays_per_batch"])
-        s2._demand_ema = float(sd["demand_ema"])
+        s2.load_state_dict(sd)
         assert s2._demand_ema == s._demand_ema
+        assert s2.n_rays_per_batch == s.n_rays_per_batch
+        assert s2.n_samples_per_ray == s.n_samples_per_ray

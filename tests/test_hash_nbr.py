@@ -194,33 +194,76 @@ class TestMosaicBlockShapes:
             np.asarray(g_fast), np.asarray(g_ref), rtol=5e-2, atol=5e-3
         )
 
-    def test_vmem_gate_on_accumulator_block(self):
-        """The RMW kernel holds a whole level accumulator live in VMEM;
+    def test_oversized_levels_get_sharded_blocks(self):
+        """The RMW kernel holds a level accumulator live in VMEM;
         f32[262144, 128] (f8l4 at the reference's 2^19 cap) is 128 MB and
         fails TPU compilation ("Allocation would exceed memory" — the
-        round-4 cap19 A/B crash).  Oversized plans must route to the XLA
-        backward; the reference-exact f2l16 @ 2^19 (P=8 -> 65536 rows)
-        and every shipped bench geometry must keep the Pallas path."""
+        round-4 cap19 A/B crash).  Oversized levels must get the row-
+        sharded kernel: every planned block stays within the 32 MB shard
+        window (+ the 8 dump rows), whole-level blocks within the 16 MB
+        cap (the 3-scratch branch overflowed scoped VMEM by 1.2 MB at
+        32 MB double-buffered), and the blocks still tile the array."""
         from jnerf_tpu.ops.hash_nbr import (
             _ACC_BLOCK_ROWS_MAX,
-            _bwd_plan_fits_tpu,
+            _SHARD_BLOCK_ROWS,
             bwd_accumulator_plan,
         )
 
         cap19 = dict(base_resolution=16, log2_hashmap_size=19,
                      max_level_size=524288)
-        f8l4_cap19 = HashGridSpec(n_levels=4, n_features_per_level=8,
-                                  **cap19)
-        plan = bwd_accumulator_plan(f8l4_cap19)
-        assert plan.get("rows_max", 0) > _ACC_BLOCK_ROWS_MAX
-        assert not _bwd_plan_fits_tpu(f8l4_cap19)
+        for lv, ft in [(4, 8), (8, 4), (16, 2)]:
+            spec = HashGridSpec(n_levels=lv, n_features_per_level=ft,
+                                **cap19)
+            plan = bwd_accumulator_plan(spec)
+            sh = plan["shard"]
+            # f2l16@cap19 (65536 rows) takes ONE 32 MB shard window — too
+            # big for the 16 MB whole-level branch, no split needed.
+            assert sh["n_shards"] == -(-sh["rows"] // _SHARD_BLOCK_ROWS)
+            assert sh["rows_blk"] <= _SHARD_BLOCK_ROWS
+            assert sh["n_shards"] * sh["rows_blk"] >= sh["rows"]
+            for block, array in plan["blocks"]:
+                assert block[0] <= max(_ACC_BLOCK_ROWS_MAX,
+                                       sh["rows_blk"] + sh["dump"])
+                self._assert_block_ok(block, array)
 
-        f2l16_cap19 = HashGridSpec(n_levels=16, n_features_per_level=2,
-                                   **cap19)
-        assert _bwd_plan_fits_tpu(f2l16_cap19)
-
+        # The shipped bench geometries (<= 32768 rows/level) fit whole
+        # levels and must NOT shard — their layouts are unchanged.
         for levels, feats in [(16, 2), (8, 4), (4, 8)]:
-            assert _bwd_plan_fits_tpu(self._bench_spec(levels, feats))
+            p = bwd_accumulator_plan(self._bench_spec(levels, feats))
+            assert "shard" not in p
+
+    def test_sharded_grad_matches_autodiff(self, monkeypatch):
+        """Numeric regression for the sharded kernel: force sharding at
+        small scale (row cap monkeypatched down) and check the interpret-
+        mode Pallas backward against autodiff of the pure-XLA forward."""
+        import jnerf_tpu.ops.hash_nbr as nbr_mod
+        from jnerf_tpu.ops.hash_nbr import _encode_from_nbr
+
+        spec = HashGridSpec(n_levels=4, base_resolution=4,
+                            log2_hashmap_size=10, desired_resolution=64.0)
+        monkeypatch.setattr(nbr_mod, "MATMUL_ROWS_MAX", 8)
+        monkeypatch.setattr(nbr_mod, "_ACC_BLOCK_ROWS_MAX", 32)
+        monkeypatch.setattr(nbr_mod, "_SHARD_BLOCK_ROWS", 32)
+        plan = nbr_mod.bwd_accumulator_plan(spec)
+        assert "shard" in plan and plan["shard"]["n_shards"] >= 2
+        assert plan["k2"] < spec.n_levels
+
+        t = jax.random.normal(jax.random.PRNGKey(0),
+                              (spec.n_entries, 2), jnp.float32) * 0.1
+        p = jax.random.uniform(jax.random.PRNGKey(1), (256, 3), jnp.float32)
+
+        def loss_ref(t):
+            nbr = build_nbr_table(spec, t)
+            return jnp.sum(jnp.sin(_encode_from_nbr(spec, nbr, p)))
+
+        def loss_fast(t):
+            return jnp.sum(jnp.sin(hash_encode_nbr(spec, t, p)))
+
+        g_ref = jax.grad(loss_ref)(t)
+        g_fast = jax.grad(loss_fast)(t)
+        np.testing.assert_allclose(
+            np.asarray(g_fast), np.asarray(g_ref), rtol=5e-2, atol=5e-3
+        )
 
 
 def test_xla_fallback_matches_pallas(spec, table, pos, monkeypatch):

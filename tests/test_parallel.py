@@ -129,6 +129,57 @@ def test_shard_rays_layout():
     np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
 
 
+def test_pallas_backward_under_mesh_interpret(fresh_cfg, monkeypatch):
+    """The Pallas hash-table backward compiled under GSPMD (VERDICT r4 #8).
+
+    On CPU the production backward is the exact XLA scatter
+    (`hash_nbr._encode_nbr_bwd`), so the sharded program the dryrun
+    compiles differs from the TPU program in exactly the custom-kernel
+    tier.  JNERF_PALLAS_INTERPRET=1 routes the CPU backward through the
+    interpret-mode Pallas kernels, so this test compiles + executes the
+    TPU program *structure* (pallas_call inside a jit over a Mesh, with
+    sharded compacted model inputs) at tiny shapes, and checks it against
+    the XLA-backward mesh run — same math, different kernel tier.
+    """
+    from jnerf_tpu.runner import Runner
+    from jnerf_tpu.utils.bench_cfg import ngp_synthetic_cfg
+    from jnerf_tpu.utils.config import get_cfg
+    from jnerf_tpu.parallel import make_mesh
+
+    def build():
+        cfg = ngp_synthetic_cfg(
+            n_images=2, H=32, W=32, n_rays_per_batch=256,
+            target_batch_size=1 << 12, grid_size=32, nerf_steps=128,
+            hash_levels=4, log2_hashmap_size=12, fp16=False,
+        )
+        cfg.compacted_batch = True  # flagship semantics: compaction tier
+        cfg.march_budget_factor = 2
+        get_cfg().optim.eps = 1e-8
+        return Runner()
+
+    key = jax.random.PRNGKey(7)
+    out = {}
+    for name, interpret in (("xla", False), ("pallas", True)):
+        monkeypatch.setenv("JNERF_PALLAS_INTERPRET", "1" if interpret else "")
+        runner = build()
+        snap = _snapshot(runner)
+        _restore(runner, snap, make_mesh(8))
+        runner._update_grid(0, jax.random.PRNGKey(11))
+        loss = runner._train_step(key)
+        out[name] = (float(jax.device_get(loss)),
+                     jax.device_get(runner.params))
+
+    loss_x, p_x = out["xla"]
+    loss_p, p_p = out["pallas"]
+    assert np.isfinite(loss_p)
+    np.testing.assert_allclose(loss_p, loss_x, rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(p_x), jax.tree.leaves(p_p)):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=1e-4, atol=1e-5,
+        )
+
+
 def test_production_eps_divergence_bounded(fresh_cfg):
     """Cross-mesh reproducibility at the PRODUCTION Adam eps=1e-15
     (VERDICT r2 #5): the shipped optimizer setting, not the softened

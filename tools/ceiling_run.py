@@ -37,6 +37,9 @@ def main():
                          "1 for spheres, 2 for hard)")
     ap.add_argument("--n-val", type=int, default=0,
                     help="validation views (0 = scene default: 2/4)")
+    ap.add_argument("--fast-cap", type=int, default=0,
+                    help="hashed-level table cap in entries (0 = shipped "
+                         "default; 524288 = the reference's 2^19)")
     ap.add_argument("--compact", action="store_true")
     ap.add_argument("--march-factor", type=int, default=2)
     ap.add_argument("--compact-m", type=int, default=0,
@@ -63,6 +66,8 @@ def main():
         tot_train_steps=args.steps, scene=args.scene, ssaa=ssaa,
         n_val=n_val, **enc,
     )
+    if args.fast_cap:
+        cfg.hashmap_fast_cap = args.fast_cap
     if args.compact:
         cfg.compacted_batch = (1 << args.compact_m) if args.compact_m else True
         cfg.march_budget_factor = args.march_factor
@@ -103,12 +108,16 @@ def main():
     # drift slightly past their peak (EMA decay / LR floor), and reporting
     # the post-peak value would let a 5-minute point exceed the "ceiling".
     ceiling = max([final_psnr] + [t["psnr"] for t in trajectory])
+    from bench_psnr import _git_rev
     result = {
         "psnr_ceiling": round(ceiling, 2),
         "psnr_final": round(final_psnr, 2),
         "per_view_psnr": per_view,
         "iters": args.steps,
         "encoder": args.encoder,
+        "fast_cap": args.fast_cap or None,
+        "git_rev": _git_rev(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))),
         "compact": ((f"m=2^{args.compact_m}" if args.compact_m
                      else "m=target") + f",f={args.march_factor}"
                     if args.compact else None),
