@@ -46,15 +46,21 @@ def parse_variant(variant: str) -> dict:
     """Compaction variant grammar -> config overrides.
 
     "c<N>" = compact at M=target, march budget factor N (round-3 compat);
-    "m<B>" = compact at M=2^B; "f<N>" = march budget factor N.
-    E.g. "m16f1" is the round-4 speed mode.
+    "m<B>" = compact at M=2^B; "f<N>" = march budget factor N;
+    "k<B>" = hashed-level table cap 2^B entries (k19 = the reference's
+    2^19, `ngp_base.py:69` — served by the round-5 row-sharded RMW
+    backward, ops/hash_nbr.py).
+    E.g. "m16f1" is the round-4 speed mode, "m18f2k19" the round-5
+    quality mode.
     """
     import re
 
     knobs = {"compacted_batch": True}
-    for tok, val in re.findall(r"([cmf])(\d+)", variant):
+    for tok, val in re.findall(r"([cmfk])(\d+)", variant):
         if tok == "m":
             knobs["compacted_batch"] = 1 << int(val)
+        elif tok == "k":
+            knobs["hashmap_fast_cap"] = 1 << int(val)
         else:  # c and f both set the march budget factor
             knobs["march_budget_factor"] = int(val)
     return knobs

@@ -55,6 +55,9 @@ def main():
     ap.add_argument("--scene", default="spheres")
     ap.add_argument("--compact-m", type=int, default=16)
     ap.add_argument("--march-factor", type=int, default=1)
+    ap.add_argument("--fast-cap", type=int, default=0,
+                    help="hashed-level table cap in entries (0 = shipped "
+                         "default; 524288 = the reference's 2^19)")
     ap.add_argument("--steps", type=int, default=768,
                     help="warmup steps to reach steady shapes")
     ap.add_argument("--cpu", action="store_true")
@@ -82,6 +85,8 @@ def main():
     if m:
         cfg.compacted_batch = m
         cfg.march_budget_factor = args.march_factor
+    if args.fast_cap:
+        cfg.hashmap_fast_cap = args.fast_cap
     runner = Runner()
     loss = runner.train_range(0, args.steps)
     float(jax.device_get(loss))
@@ -134,7 +139,7 @@ def main():
         if m:
             info = compact_indices(s.valid, m)
             acc = acc + jnp.sum(info.idx.astype(jnp.float32))
-        return carry + acc, ()
+        return carry + acc
 
     results["march"] = scan_timer(march_fn, jnp.zeros(()))
     print(f"march(+compact): {results['march'] * 1e3:.2f} ms", flush=True)
@@ -157,7 +162,7 @@ def main():
 
     def model_f(carry, k):
         raw = model(params, pos_c + carry * 0.0, dirs_c)
-        return carry + jnp.sum(raw.astype(jnp.float32)) * 1e-9, ()
+        return carry + jnp.sum(raw.astype(jnp.float32)) * 1e-9
 
     results["model_f"] = scan_timer(model_f, jnp.zeros(()))
     print(f"model fwd [M]: {results['model_f'] * 1e3:.2f} ms", flush=True)
@@ -168,7 +173,7 @@ def main():
             return jnp.mean(raw.astype(jnp.float32) ** 2)
 
         g = jax.grad(lf)(params)
-        return carry + jax.tree.leaves(g)[0].astype(jnp.float32).sum() * 1e-9, ()
+        return carry + jax.tree.leaves(g)[0].astype(jnp.float32).sum() * 1e-9
 
     results["model_fb"] = scan_timer(model_fb, jnp.zeros(()))
     print(f"model fwd+bwd [M]: {results['model_fb'] * 1e3:.2f} ms", flush=True)
@@ -184,7 +189,7 @@ def main():
                 return jnp.mean((rgb - tgt) ** 2)
 
             g = jax.grad(lf)(raw_fix)
-            return carry + jnp.sum(g) * 1e-9, ()
+            return carry + jnp.sum(g) * 1e-9
 
         results["comp_fb"] = scan_timer(comp_fb, jnp.zeros(()))
         print(f"composite+loss fwd+bwd: {results['comp_fb'] * 1e3:.2f} ms",
@@ -200,7 +205,7 @@ def main():
         p = jax.tree.map(lambda a, b: a + b, p, up)
         if ema is not None:
             p, e = ema.step(p, e)
-        return (p, o, e), ()
+        return (p, o, e)
 
     import copy
 
