@@ -217,6 +217,11 @@ def _assembly_matrix(L: int, F: int) -> np.ndarray:
 # Gathering per level (and, for levels past the cliff, from sub-table
 # splits + select) keeps every gather operand on the fast side.
 _FAST_GATHER_BYTES = 8 << 20  # measured cliff is ~14 MB; leave margin
+# Sub-table count past which one slow-rate direct gather beats the
+# split-and-select chain (see _take_split docstring).  3.5 ns/row fast
+# rate x n_sub passes + select traffic vs 12.4 ns/row once -> crossover
+# is between 3 and 4; set from the cap19 probe measurement.
+_DIRECT_GATHER_SUBS = 4
 
 
 def fast_gather_rows(row_bytes: int) -> int:
@@ -225,12 +230,22 @@ def fast_gather_rows(row_bytes: int) -> int:
 
 
 def _take_split(tbl: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """Row gather where the operand is split into <=8 MB sub-tables."""
+    """Row gather where the operand is split into <=8 MB sub-tables.
+
+    Past ~4 sub-tables the split loses: each sub-gather walks ALL N
+    indices, so the split does n_sub full-rate gathers plus (n_sub-1)
+    full-width selects, while one direct gather from the big operand
+    pays the slow per-row rate once (12.4 vs 3.5 ns/row, probe_gather).
+    Crossover measured on the cap19 tables (tools/probe_cap19_parts.py,
+    round 5): 64 MB operand split8 vs direct.  Direct wins past
+    _DIRECT_GATHER_SUBS sub-tables."""
     sz = tbl.shape[0]
     limit = fast_gather_rows(tbl.shape[1] * tbl.dtype.itemsize)
     if sz <= limit:
         return jnp.take(tbl, idx, axis=0)
     n_sub = -(-sz // limit)
+    if n_sub >= _DIRECT_GATHER_SUBS:
+        return jnp.take(tbl, idx, axis=0)
     out = None
     for s in range(n_sub):
         lo = s * limit
@@ -762,6 +777,55 @@ def _corner_select(c: int, F: int, blocks: int = 8) -> np.ndarray:
     return p
 
 
+@functools.lru_cache(maxsize=8)
+def _corner_split_matrix(F: int) -> np.ndarray:
+    """[1024, 1024] 0/1 permutation for the mm unpack: 8 slab rows
+    (entry-major lanes slot*8F + c*F + f) -> 8 corner-major 128-lane
+    blocks, block c holding the feature-interleaved flat e_loc*F + f."""
+    P = 128 // (8 * F)
+    W = np.zeros((8 * 128, 8 * 128), np.float32)
+    for j in range(8):
+        for li in range(128):
+            s, cc, f = li // (8 * F), (li % (8 * F)) // F, li % F
+            W[j * 128 + li, cc * 128 + (j * P + s) * F + f] = 1.0
+    return W
+
+
+def _unpack_level_mm(spec: HashGridSpec, lvl: int, slab2d: jnp.ndarray):
+    """MXU-permute + 1-D-roll unpack of one level's kernel accumulator.
+
+    The halving-stage unpack rolls [E, >=16] arrays by arbitrary row
+    offsets — every 8-row sublane tile lands misaligned, so each roll is
+    a full relayout (~27 GB/s effective at cap19, 18 ms of the 29.5 ms
+    f8l4@2^19 backward).  Here ONE one-hot matmul regroups lanes into 8
+    corner-major 128-lane blocks whose flats are feature-interleaved —
+    exactly the layout whose 1-D rolls build_nbr_table streams — then 8
+    flat rolls + an add-tree finish the corner sum.  HIGHEST precision:
+    one output = one input value through an exactly-representable 1.0,
+    so the triple-bf16 decomposition reconstructs f32 exactly.
+    """
+    F = spec.n_features_per_level
+    sz = spec.level_sizes[lvl]
+    A, B, C = (int(m) for m in level_multipliers(spec)[lvl])
+    Y = slab2d.reshape(sz * 8 * F // 1024, 1024)
+    out = jnp.dot(Y, jnp.asarray(_corner_split_matrix(F)),
+                  precision=jax.lax.Precision.HIGHEST,
+                  preferred_element_type=jnp.float32)
+    acc = 0.0
+    for c in range(8):
+        off = ((c & 1) * A + ((c >> 1) & 1) * B + ((c >> 2) & 1) * C) % sz
+        flat = out[:, c * 128 : (c + 1) * 128].reshape(sz * F)
+        acc = acc + _roll1d(flat, F * off)
+    return acc.reshape(sz, F)
+
+
+def _unpack_mm_mode() -> str:
+    """'' (auto: mm for sharded-branch levels), '1' (all), '0' (never)."""
+    import os
+
+    return os.environ.get("JNERF_UNPACK_MM", "")
+
+
 def unpack_slabs(spec: HashGridSpec, slabs):
     """Per-level kernel accumulators [E_l/P, 128] -> master grad
     [n_entries, F].
@@ -787,9 +851,17 @@ def unpack_slabs(spec: HashGridSpec, slabs):
     """
     F = spec.n_features_per_level
     mults = level_multipliers(spec)
+    mm_mode = _unpack_mm_mode()
+    plan_rows = [sz // (128 // (8 * F)) for sz in spec.level_sizes]
     parts = []
     for lvl in range(spec.n_levels):
         sz = spec.level_sizes[lvl]
+        mm_ok = (sz * 8 * F) % 1024 == 0
+        mm_auto = mm_ok and _pad8(plan_rows[lvl]) > _ACC_BLOCK_ROWS_MAX
+        if mm_mode != "0" and (mm_mode == "1" and mm_ok or
+                               mm_mode == "" and mm_auto):
+            parts.append(_unpack_level_mm(spec, lvl, slabs[lvl]))
+            continue
         slab = slabs[lvl].reshape(sz, 8 * F)
         # adjoint of build_nbr_table's nbr[e] = master[e + off]:
         # master[m] += slab[m - off]  ==  roll(slab, +off)[m]

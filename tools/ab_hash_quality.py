@@ -18,13 +18,22 @@ import numpy as np
 from jnerf_tpu.models.losses import img2mse, mse2psnr
 from jnerf_tpu.utils.bench_cfg import ngp_synthetic_cfg
 
-STEPS = int(next((a.split("=")[1] for a in sys.argv if a.startswith("--steps=")), 600))
+def _flag(name, default):
+    return int(next((a.split("=")[1] for a in sys.argv
+                     if a.startswith(f"--{name}=")), default))
+
+
+STEPS = _flag("steps", 600)
+H = _flag("size", 96)
+LOG2 = _flag("log2", 15)
+LEVELS = _flag("levels", 8)
+RAYS = _flag("rays", 1024)
 
 for indexing in ("linear_rows", "xor"):
     cfg = ngp_synthetic_cfg(
-        n_images=8, H=96, W=96, n_rays_per_batch=1024,
-        target_batch_size=1 << 15, grid_size=64, nerf_steps=256,
-        hash_levels=8, log2_hashmap_size=15, tot_train_steps=STEPS,
+        n_images=8, H=H, W=H, n_rays_per_batch=RAYS,
+        target_batch_size=RAYS * 32, grid_size=64, nerf_steps=256,
+        hash_levels=LEVELS, log2_hashmap_size=LOG2, tot_train_steps=STEPS,
     )
     cfg.hash_indexing = indexing
     from jnerf_tpu.runner import Runner
@@ -47,6 +56,9 @@ for indexing in ("linear_rows", "xor"):
     print(json.dumps({
         "hash_indexing": indexing,
         "steps": STEPS,
+        "size": H,
+        "log2": LOG2,
+        "levels": LEVELS,
         "psnr": round(float(np.mean(psnrs)), 2),
         "per_view": [round(p, 2) for p in psnrs],
     }), flush=True)
