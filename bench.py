@@ -159,8 +159,12 @@ def main():
     # The reference trains on compacted samples by default
     # (density_grid_sampler.py:136-167); padded baselines live in
     # logs/quality/compact_ab_*.jsonl.
-    shapes = (["f8l4+m17f2", "f8l4+m16f1", "f4l8+m16f1", "f2l16+m16f1",
-               "f2l16"]
+    # f8l4+m17f2k19: reference-capacity (2^19-entry) tables at the TPU-fast
+    # 4x8 geometry — measured hard-scene ceiling 36.0 dB (the scene's
+    # reference-class target; logs/ceiling_f8l4_m17f2k19_hard.json), served
+    # by the round-5 row-sharded RMW backward + MXU-permute unpack.
+    shapes = (["f8l4+m17f2k19", "f8l4+m17f2", "f8l4+m16f1", "f4l8+m16f1",
+               "f2l16+m16f1", "f2l16"]
               if args.encoder == "both" else [args.encoder])
     # Per-config isolation (VERDICT r3 weak #1): round 3's f2l16 Pallas
     # crash destroyed the already-finished f4l8 headline because every
