@@ -225,6 +225,17 @@ def main():
                 at5["value"] / ceil["psnr_ceiling"], 3),
             "scene": ceil["scene"],
         }
+        # Stale-pair guards (VERDICT r4 weak #2: a 5-min point measured
+        # against a pre-fix ceiling shipped fraction > 1 for a round).
+        # A fraction past 1.02 means one side of the pair predates a
+        # code change; mismatched git_revs mean the pair cannot be
+        # claimed as one measurement even when the fraction looks sane.
+        if extra["quality"]["fraction_of_ceiling"] > 1.02:
+            extra["quality"]["fraction_suspect"] = True
+        crev = ceil.get("git_rev")
+        qrev = at5.get("git_rev") or at5.get("extra", {}).get("git_rev")
+        if crev and qrev and crev != qrev:
+            extra["quality"]["rev_mismatch"] = f"{crev}!={qrev}"
     except (OSError, KeyError, ValueError) as e:
         # A headline with no quality anchor is a defect worth surfacing,
         # not hiding (round 3 shipped a corrupt psnr300_f8l4.json that the
