@@ -235,7 +235,20 @@ def main():
         crev = ceil.get("git_rev")
         qrev = at5.get("git_rev") or at5.get("extra", {}).get("git_rev")
         if crev and qrev and crev != qrev:
-            extra["quality"]["rev_mismatch"] = f"{crev}!={qrev}"
+            # Different revs only invalidate the pair when the diff
+            # between them touches the model/runtime package — a pair
+            # split by a bench- or docs-only commit is one code state.
+            import subprocess
+            try:
+                touched = subprocess.run(
+                    ["git", "diff", "--name-only", f"{crev}..{qrev}",
+                     "--", "jnerf_tpu"],
+                    capture_output=True, text=True, cwd=here, timeout=10,
+                ).stdout.strip()
+            except (OSError, subprocess.SubprocessError):
+                touched = "(git unavailable: assume mismatch)"
+            if touched:
+                extra["quality"]["rev_mismatch"] = f"{crev}!={qrev}"
     except (OSError, KeyError, ValueError) as e:
         # A headline with no quality anchor is a defect worth surfacing,
         # not hiding (round 3 shipped a corrupt psnr300_f8l4.json that the

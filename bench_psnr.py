@@ -193,6 +193,20 @@ def main():
     fraction_suspect = bool(fraction is not None and fraction > 1.02)
     rev = _git_rev(here)
     state_mismatch = bool(ceiling_rev and rev and ceiling_rev != rev)
+    if state_mismatch:
+        # Different revs only split the pair when the inter-rev diff
+        # touches the model/runtime package; bench- or docs-only commits
+        # between the two runs keep them one code state.
+        import subprocess
+        try:
+            touched = subprocess.run(
+                ["git", "diff", "--name-only", f"{ceiling_rev}..{rev}",
+                 "--", "jnerf_tpu"],
+                capture_output=True, text=True, cwd=here, timeout=10,
+            ).stdout.strip()
+            state_mismatch = bool(touched)
+        except (OSError, subprocess.SubprocessError):
+            pass  # cannot verify: keep the conservative flag
     if fraction_suspect:
         print(f"[bench_psnr] WARNING: psnr {mean_psnr:.2f} exceeds the "
               f"cited ceiling {ceiling} by >2% — the ceiling artifact is "

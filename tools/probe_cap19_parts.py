@@ -30,12 +30,16 @@ from jnerf_tpu.ops import hash_nbr as nbr
 
 
 def timeit(fn, *a, reps=20):
+    # Sync via device_get of the scalar result: on the axon relay
+    # block_until_ready is a no-op (measured: every tier "ran" in 0.02 ms
+    # under it), while a host transfer genuinely drains the stream — the
+    # same rule every trusted probe in tools/ follows.
     fn(*a)
-    jax.block_until_ready(fn(*a))
+    float(jax.device_get(fn(*a)))
     t0 = time.perf_counter()
     for _ in range(reps):
         r = fn(*a)
-    jax.block_until_ready(r)
+    float(jax.device_get(r))
     return (time.perf_counter() - t0) / reps * 1e3
 
 
@@ -78,16 +82,20 @@ def main(levels=4, feats=8, n=1 << 17, cap=1 << 19):
                           jnp.float32)
         for i, sz in enumerate(spec.level_sizes))
     out["unpack_ms"] = round(timeit(jax.jit(
-        lambda s: nbr.unpack_slabs(spec, list(s))), slabs), 2)
+        lambda s: sum(jnp.sum(x) for x in
+                      nbr.unpack_slabs(spec, list(s)))), slabs), 2)
     if jax.default_backend() != "cpu":
         out["bwd_ms"] = round(timeit(jax.jit(
-            lambda p, g: nbr._grad_table_pallas(spec, p, g, False)), p, g), 2)
+            lambda p, g: jnp.sum(
+                nbr._grad_table_pallas(spec, p, g, False))), p, g), 2)
     print(json.dumps(out), flush=True)
 
 
 def build_tuple_sum(spec, t):
+    # Full-array reductions: a [:1] slice invites XLA to DCE the rest of
+    # the build, and the reduction itself is noise next to the streamed GB.
     parts = nbr.build_nbr_table(spec, t.astype(nbr.GATHER_DTYPE))
-    return sum(jnp.sum(x[:1].astype(jnp.float32)) for x in parts)
+    return sum(jnp.sum(x.astype(jnp.float32)) for x in parts)
 
 
 if __name__ == "__main__":

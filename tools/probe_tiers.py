@@ -35,15 +35,20 @@ def scan_timer(fn, operands, reps=16, trials=4):
         out, _ = jax.lax.scan(body, args, keys, length=reps)
         return out
 
+    def sync(out):
+        # device_get of one output leaf: the only sync the axon relay
+        # honors (block_until_ready is a no-op there — measured).  The
+        # scan is one executable, so any output waits for all of it.
+        jax.device_get(jax.tree.leaves(out)[0])
+
     win = jax.jit(window)
     keys = jax.random.split(jax.random.PRNGKey(0), reps)
-    out = win(operands, keys)
-    jax.block_until_ready(out)
+    sync(win(operands, keys))
     ts = []
     for _ in range(trials):
         t0 = time.perf_counter()
         out = win(operands, keys)
-        jax.block_until_ready(out)
+        sync(out)
         ts.append((time.perf_counter() - t0) / reps)
     ts.sort()
     return ts[len(ts) // 2]
